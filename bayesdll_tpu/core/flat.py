@@ -1,0 +1,94 @@
+"""Flat-vector parameter representation.
+
+The reference maintains posterior-moment state as flat vectors via
+`torch.nn.utils.parameters_to_vector` (reference `methods/sgld.py:95-102`),
+re-flattening the module tree every collection step.  Here the *master copy*
+of the parameters IS a single fp32 vector: samplers run one fused elementwise
+pass over one contiguous array (MXU-adjacent VPU work, Pallas-friendly), and
+the model's pytree view is materialised only for the forward pass via a
+cheap unravel (per-leaf slice+reshape, fused by XLA).
+
+Per-parameter policy decisions in the reference are *name-substring tests*
+inside Python loops (`'bias' in pname`, `net.readout_name not in pname` —
+reference `methods/sgld.py:470-476`).  Here they are precomputed per-element
+0/1 mask vectors (`is_bias`, `is_head`) so that the policy becomes pure
+arithmetic inside the jitted step: e.g.
+`lr_vec = lr_body * (1 - is_head) + lr_head * is_head`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.flatten_util  # noqa: F401  (not re-exported via the jax namespace)
+import jax.numpy as jnp
+import numpy as np
+
+
+def _path_names(path: Tuple[Any, ...]) -> Tuple[str, ...]:
+    """Stringify a jax key path into its component names."""
+    names = []
+    for entry in path:
+        if isinstance(entry, jax.tree_util.DictKey):
+            names.append(str(entry.key))
+        elif isinstance(entry, jax.tree_util.GetAttrKey):
+            names.append(str(entry.name))
+        elif isinstance(entry, jax.tree_util.SequenceKey):
+            names.append(str(entry.idx))
+        else:
+            names.append(str(entry))
+    return tuple(names)
+
+
+def flatten_params(params) -> Tuple[jnp.ndarray, Callable]:
+    """Flatten a parameter pytree to one fp32 vector + an unravel closure.
+
+    Returns:
+      theta: fp32 1-D array of all parameters, concatenated in pytree order.
+      unravel: jittable closure mapping such a vector back to the pytree
+        (with the original leaf dtypes).
+    """
+    theta, unravel = jax.flatten_util.ravel_pytree(params)
+    return theta.astype(jnp.float32), unravel
+
+
+def path_masks(
+    params,
+    readout_name: str = "head",
+    bias_leaf_names: Tuple[str, ...] = ("bias",),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-element 0/1 masks for head params and bias params.
+
+    Mirrors the reference's name tests (reference `methods/sgld.py:470-476`):
+    a leaf is *head* iff `readout_name` appears in any path component, and
+    *bias* iff the final path component is one of `bias_leaf_names`
+    (flax linen convention: Dense/Conv have `kernel`/`bias`; BatchNorm has
+    `scale`/`bias` — the reference's `'bias' in pname` test likewise catches
+    torch BN biases).
+
+    Returns numpy fp32 vectors aligned with `flatten_params(params)[0]`.
+    """
+    leaves_with_paths = jax.tree_util.tree_leaves_with_path(params)
+    head_chunks, bias_chunks = [], []
+    for path, leaf in leaves_with_paths:
+        names = _path_names(path)
+        n = int(np.prod(np.asarray(leaf.shape, dtype=np.int64))) if leaf.shape else 1
+        is_head = float(any(readout_name in name for name in names))
+        is_bias = float(len(names) > 0 and names[-1] in bias_leaf_names)
+        head_chunks.append(np.full((n,), is_head, dtype=np.float32))
+        bias_chunks.append(np.full((n,), is_bias, dtype=np.float32))
+    if not head_chunks:
+        return np.zeros((0,), np.float32), np.zeros((0,), np.float32)
+    return np.concatenate(head_chunks), np.concatenate(bias_chunks)
+
+
+def leaf_spans(params):
+    """(names, start, size) per leaf in flatten order — for debugging/tools."""
+    spans = []
+    offset = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        n = int(np.prod(np.asarray(leaf.shape, dtype=np.int64))) if leaf.shape else 1
+        spans.append(("/".join(_path_names(path)), offset, n))
+        offset += n
+    return spans

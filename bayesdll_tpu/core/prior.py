@@ -1,0 +1,158 @@
+"""Posterior-target and prior specification.
+
+The reference represents "the thing being inferred" as a *pair of modules*:
+a workhorse `net` holding the current sample and a frozen `net0` holding the
+prior mean (zeros when training from scratch — reference
+`methods/sgld.py:28-39`).  Here the equivalent is `FlatTarget`: a pure apply
+function + one flat parameter vector for the prior mean + per-element masks,
+so every sampler is a pure function and the prior term is one fused
+`(theta - theta0) / sig^2 / N` vector op.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesdll_tpu.core import flat as flat_util
+
+
+@dataclasses.dataclass(frozen=True)
+class PriorSpec:
+    """Gaussian prior N(theta0, prior_sig^2 I) with bias-handling policy.
+
+    Mirrors the reference's per-method hparams (reference `methods/sgld.py:62-66`,
+    SURVEY.md §2.3):
+      prior_sig: prior std sigma.
+      bias: bias-parameter policy — 'informative' (biases get the same prior),
+        'uninformative'/'ignore' (biases get no prior term), plus
+        MC-dropout-specific 'gaussian'/'spikymix'.
+      ninflate: N inflation factor (accounts for data augmentation); the
+        effective dataset size is N = ND * ninflate (reference
+        `methods/sgld.py:451`).
+      nd: noise discount factor on injected sampler noise.
+    """
+
+    prior_sig: float = 1.0
+    bias: str = "informative"
+    ninflate: float = 1.0
+    nd: float = 1.0
+
+
+class FlatTarget(flax.struct.PyTreeNode):
+    """A Bayesian posterior target over a flat parameter vector.
+
+    Fields (array leaves are pytree children; the rest is static aux data):
+      theta0: fp32 prior-mean vector (pretrained weights with zeroed head, or
+        all zeros — reference `networks/__init__.py:90-92`,
+        `methods/sgld.py:29-36`).
+      is_head: fp32 0/1 mask — element belongs to the readout head
+        (reference selects head params by name substring,
+        `methods/sgld.py:52-56`).
+      is_bias: fp32 0/1 mask — element is a bias parameter.
+      apply_fn: (params_pytree, net_state, x, train, rng) ->
+        (logits, new_net_state); net_state carries mutable collections such
+        as BatchNorm batch_stats ({} for stateless models).
+      unravel: flat fp32 vector -> params pytree.
+      nd_size: training-set size ND used to scale priors/KL (reference
+        `datasets.py:285`).
+      num_classes: class cardinality of the task.
+    """
+
+    theta0: jnp.ndarray
+    is_head: jnp.ndarray
+    is_bias: jnp.ndarray
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+    unravel: Callable = flax.struct.field(pytree_node=False)
+    nd_size: int = flax.struct.field(pytree_node=False, default=0)
+    num_classes: int = flax.struct.field(pytree_node=False, default=10)
+
+    @property
+    def dim(self) -> int:
+        return int(self.theta0.shape[0])
+
+    def forward(self, theta: jnp.ndarray, net_state, x, train: bool = False,
+                rng=None):
+        """Apply the backbone with parameters taken from the flat vector."""
+        params = self.unravel(theta)
+        return self.apply_fn(params, net_state, x, train=train, rng=rng)
+
+    def prior_mask(self, bias_mode: str) -> jnp.ndarray:
+        """Per-element multiplier for the prior/KL term.
+
+        'uninformative' / 'ignore' bias modes drop the prior pull on bias
+        elements (reference `methods/sgld.py:477-484` branches on
+        `'bias' in pname and bias == 'uninformative'`).
+        """
+        if bias_mode in ("uninformative", "ignore"):
+            return 1.0 - self.is_bias
+        return jnp.ones_like(self.is_bias)
+
+    def lr_vec(self, lr_body, lr_head) -> jnp.ndarray:
+        """Per-element learning rate: body lr except head elements
+        (reference two-param-group SGD, `methods/sgld.py:52-56`)."""
+        return lr_body * (1.0 - self.is_head) + lr_head * self.is_head
+
+
+def make_flat_target(
+    model,
+    input_shape,
+    *,
+    nd_size: int,
+    num_classes: int,
+    rng: jax.Array,
+    theta0_params=None,
+    readout_name: str = "head",
+    has_batch_stats: bool = False,
+    dropout: bool = False,
+) -> tuple:
+    """Build a FlatTarget from a flax linen module.
+
+    Returns (target, theta_init, net_state_init) where theta_init is the flat
+    vector of the freshly-initialised (or provided) workhorse parameters and
+    net_state_init carries initial mutable collections (e.g. batch_stats).
+
+    theta0_params=None means a zero prior mean (training from scratch —
+    reference `methods/sgld.py:29-36`).
+    """
+    x = jnp.zeros((1,) + tuple(input_shape), jnp.float32)
+    variables = model.init(rng, x, train=False)
+    params = variables["params"]
+    net_state_init = {k: v for k, v in variables.items() if k != "params"}
+
+    theta_init, unravel = flat_util.flatten_params(params)
+    is_head_np, is_bias_np = flat_util.path_masks(params, readout_name=readout_name)
+    is_head = jnp.asarray(is_head_np)
+    is_bias = jnp.asarray(is_bias_np)
+
+    if theta0_params is None:
+        theta0 = jnp.zeros_like(theta_init)
+    else:
+        theta0, _ = flat_util.flatten_params(theta0_params)
+
+    def apply_fn(params_pytree, net_state, xb, train=False, rng=None):
+        variables = {"params": params_pytree, **(net_state or {})}
+        rngs = {"dropout": rng} if (dropout and rng is not None) else None
+        if has_batch_stats and train:
+            logits, mutated = model.apply(
+                variables, xb, train=True, rngs=rngs, mutable=["batch_stats"]
+            )
+            return logits, {**(net_state or {}), **mutated}
+        logits = model.apply(variables, xb, train=train, rngs=rngs)
+        return logits, net_state
+
+    target = FlatTarget(
+        theta0=theta0,
+        is_head=is_head,
+        is_bias=is_bias,
+        apply_fn=apply_fn,
+        unravel=unravel,
+        nd_size=nd_size,
+        num_classes=num_classes,
+    )
+    return target, theta_init, net_state_init

@@ -1,0 +1,76 @@
+"""Data pipeline.
+
+TPU-native counterpart of the reference's torchvision loaders
+(reference `datasets.py:6-285`).  Datasets are materialised as in-memory
+numpy arrays and fed through `ArrayLoader` (host-side shuffling, static
+batch shapes so every train step hits the same XLA executable).
+
+`prepare(cfg)` returns `(train_loader, val_loader, test_loader, nd)` with
+nd = train-set size, exactly the reference's contract
+(reference `datasets.py:285`).  The train/val split follows the reference's
+scheme: a seeded permutation of the official train set with `val_heldout`
+fraction held out (reference `datasets.py:87-96`).
+
+This environment has no network egress, so real datasets load only from
+local files under `cfg.data_root`; the 'synthetic' dataset (new, for tests
+and benchmarks) is always available.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bayesdll_tpu.data.loader import ArrayLoader
+from bayesdll_tpu.data.synthetic import make_synthetic
+from bayesdll_tpu.data import mnist as mnist_data
+from bayesdll_tpu.data import cifar as cifar_data
+
+__all__ = ["prepare", "ArrayLoader"]
+
+
+def _split_train_val(x, y, val_heldout: float, seed: int):
+    n = len(x)
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(n)
+    n_val = int(n * val_heldout)
+    if n_val == 0:
+        return (x[perm], y[perm]), None
+    val_idx, tr_idx = perm[:n_val], perm[n_val:]
+    return (x[tr_idx], y[tr_idx]), (x[val_idx], y[val_idx])
+
+
+def prepare(cfg):
+    """Build loaders for cfg.dataset. Returns (train, val, test, nd)."""
+    seed = cfg.seed
+    if cfg.dataset == "synthetic":
+        (xtr, ytr), (xte, yte), num_classes = make_synthetic(
+            n_train=getattr(cfg, "synthetic_n_train", 4096),
+            n_test=getattr(cfg, "synthetic_n_test", 1024),
+            input_shape=(784,) if cfg.backbone == "mlp_mnist" else (28, 28, 1),
+            num_classes=cfg.num_classes,
+            seed=seed,
+        )
+    elif cfg.dataset == "mnist":
+        (xtr, ytr), (xte, yte) = mnist_data.load(cfg.data_root)
+        num_classes = 10
+        if cfg.backbone == "mlp_mnist":
+            xtr = xtr.reshape(len(xtr), -1)
+            xte = xte.reshape(len(xte), -1)
+    elif cfg.dataset in ("cifar10", "cifar100"):
+        (xtr, ytr), (xte, yte) = cifar_data.load(cfg.data_root, cfg.dataset)
+        num_classes = 10 if cfg.dataset == "cifar10" else 100
+    else:
+        raise NotImplementedError(
+            f"dataset '{cfg.dataset}' (reference supports mnist/pets/imagenet/"
+            f"cifar10/cifar100 — pets/imagenet need local files)")
+
+    cfg.num_classes = num_classes
+    (xtr, ytr), val = _split_train_val(xtr, ytr, cfg.val_heldout, seed)
+
+    train_loader = ArrayLoader(xtr, ytr, cfg.batch_size, shuffle=True,
+                               seed=seed, drop_last=True)
+    val_loader = (ArrayLoader(val[0], val[1], cfg.batch_size, shuffle=False)
+                  if val is not None else None)
+    test_loader = ArrayLoader(xte, yte, cfg.batch_size, shuffle=False)
+    nd = len(xtr)
+    return train_loader, val_loader, test_loader, nd

@@ -1,0 +1,54 @@
+"""Host-side array loader with static batch shapes.
+
+Replaces the reference's `torch.utils.data.DataLoader` worker processes
+(reference `datasets.py:104`).  Design rules for TPU:
+  * Training batches all share one static shape (`drop_last=True`) so the
+    jitted train step compiles exactly once.
+  * Eval batches are padded to the batch size with a `valid` 0/1 mask so the
+    jitted eval step also compiles once; metric code masks out padding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class ArrayLoader:
+    def __init__(self, x, y, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = False):
+        assert len(x) == len(y)
+        self.x = np.asarray(x)
+        self.y = np.asarray(y, dtype=np.int32)
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.RandomState(seed)
+        self.n = len(x)
+
+    def __len__(self):
+        if self.drop_last:
+            return self.n // self.batch_size
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_examples(self):
+        return self.n
+
+    def __iter__(self):
+        idx = np.arange(self.n)
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        bs = self.batch_size
+        nb = len(self)
+        for b in range(nb):
+            sel = idx[b * bs:(b + 1) * bs]
+            xb, yb = self.x[sel], self.y[sel]
+            if len(sel) < bs:  # pad final eval batch to static shape
+                pad = bs - len(sel)
+                xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+                yb = np.concatenate([yb, np.zeros((pad,), yb.dtype)])
+                valid = np.concatenate(
+                    [np.ones(len(sel), np.float32), np.zeros(pad, np.float32)])
+            else:
+                valid = np.ones(bs, np.float32)
+            yield xb, yb, valid

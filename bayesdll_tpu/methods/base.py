@@ -1,0 +1,327 @@
+"""Shared Runner skeleton + predictive helpers.
+
+The reference replicates one epoch/eval/best-ckpt/calibration template across
+~11 method files (SURVEY.md §2.2, citing `methods/sgld.py:69-190`).  Here it
+is built once; method subclasses provide four pure functions:
+
+  * `init_state(theta_init)`          -> sampler state pytree
+  * `_step(state, x, y, key, sc)`     -> (state', (loss, err_count))  [jitted]
+  * `pred_state()`                    -> pytree consumed by `_predict_logits`
+  * `_predict_logits(ps, x, key)`     -> logits_all [S, B, K]         [jitted]
+
+plus small host hooks (`eval_ready`, `step_scalars`, `epoch_begin`,
+`after_batch`).  Everything device-side is jit-compiled once with static
+batch shapes; per-batch host work is limited to feeding numpy arrays and
+(asynchronously) collecting metric scalars.
+
+Predictive combination idiom shared by all stochastic methods (reference
+`methods/sgld.py:290-300`):
+  logits = logsumexp(log_softmax(logits_all, -1), sample_dim) - log(S)
+i.e. the log of the MC-averaged predictive probabilities; the CE of those
+"logits" is the reported posterior-predictive NLL.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesdll_tpu.utils import calibration
+
+_LOG = logging.getLogger("bayesdll_tpu")
+
+
+def combine_mc_logits(logits_all: jnp.ndarray) -> jnp.ndarray:
+    """[S, B, K] -> [B, K] MC-averaged predictive log-probs
+    (reference `methods/sgld.py:300`)."""
+    s = logits_all.shape[0]
+    return jax.scipy.special.logsumexp(
+        jax.nn.log_softmax(logits_all, axis=-1), axis=0) - jnp.log(float(s))
+
+
+def ce_loss(logits, y):
+    """Mean cross-entropy (reference `torch.nn.CrossEntropyLoss`)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+    return -jnp.mean(picked)
+
+
+def err_count(logits, y):
+    return jnp.sum(jnp.argmax(logits, axis=-1) != y)
+
+
+def gaussian_sample_logits(target, net_state, mean, var, x, key, nst: int):
+    """MC predictive under theta ~ N(mean, var): [S, B, K] logits.
+
+    nst == 0 -> single forward at the posterior mean (reference
+    `methods/sgld.py:283-290`).  Samples are scanned (not vmapped) so memory
+    stays at one parameter vector regardless of nst — the right trade for
+    ResNet-scale theta.
+    """
+    if nst == 0:
+        logits, _ = target.forward(mean, net_state, x, train=False)
+        return logits[None]
+
+    def body(carry, skey):
+        eps = jax.random.normal(skey, mean.shape, mean.dtype)
+        theta = mean + jnp.sqrt(var) * eps
+        logits, _ = target.forward(theta, net_state, x, train=False)
+        return carry, logits
+
+    _, logits_all = jax.lax.scan(body, None, jax.random.split(key, nst))
+    return logits_all
+
+
+class BaseRunner:
+    """Uniform method contract (reference SURVEY.md §1 L3)."""
+
+    method_name = "base"
+
+    def __init__(self, target, theta_init, net_state, cfg, logger=None,
+                 workdir: Optional[str] = None):
+        self.target = target
+        self.net_state = net_state or {}
+        self.cfg = cfg
+        self.logger = logger or _LOG
+        self.workdir = workdir
+        if workdir:
+            os.makedirs(workdir, exist_ok=True)
+
+        self.prior_sig = cfg.hp("prior_sig", 1.0, float) \
+            if "prior_sig" in cfg.hparams else 1.0
+        self.bias_mode = cfg.hparams.get("bias", "informative")
+        self.nst = int(cfg.hparams.get("nst", 0))
+
+        self.base_key = jax.random.PRNGKey(cfg.seed)
+        self.train_key, self.eval_key = jax.random.split(self.base_key)
+
+        self.state = self.init_state(jnp.asarray(theta_init, jnp.float32))
+        self.bi = 0  # global batch iteration counter (reference `sgld.py:86`)
+        self._jit_step = jax.jit(self._step, donate_argnums=0)
+        self._jit_predict = jax.jit(self._predict_logits)
+
+        self.results = {}
+
+    # ---- subclass interface -------------------------------------------------
+
+    def init_state(self, theta_init):
+        raise NotImplementedError
+
+    def _step(self, state, x, y, key, scalars):
+        raise NotImplementedError
+
+    def pred_state(self):
+        raise NotImplementedError
+
+    def _predict_logits(self, pred_state, x, key):
+        raise NotImplementedError
+
+    def eval_ready(self, ep: int) -> bool:
+        return True
+
+    def step_scalars(self, ep: int) -> dict:
+        """Per-batch traced scalars (lr scale, collect flag, ...).  Called
+        once per batch on host; values must be cheap python/numpy scalars."""
+        return {}
+
+    def epoch_begin(self, ep: int):
+        pass
+
+    def after_batch(self, ep: int):
+        """Host hook after each optimizer step (cycle boundaries etc.)."""
+        pass
+
+    def extra_ckpt(self) -> dict:
+        return {}
+
+    # ---- shared skeleton ----------------------------------------------------
+
+    def train(self, train_loader, val_loader, test_loader):
+        cfg, logger = self.cfg, self.logger
+        logger.info("Start training...")
+
+        losses_train = np.zeros(cfg.epochs)
+        errors_train = np.zeros(cfg.epochs)
+        best_loss = np.inf
+        tic0 = time.time()
+
+        for ep in range(cfg.epochs):
+            self.epoch_begin(ep)
+            tic = time.time()
+            losses_train[ep], errors_train[ep] = self.train_one_epoch(ep, train_loader)
+            toc = time.time()
+            logger.info(
+                "[Epoch %d/%d] Training summary: loss = %.4f, "
+                "prediction error = %.4f (time: %.4f seconds)",
+                ep, cfg.epochs, losses_train[ep], errors_train[ep], toc - tic)
+
+            if ep % cfg.test_eval_freq == 0 and self.eval_ready(ep):
+                best_loss = self._eval_and_maybe_save(
+                    ep, val_loader, test_loader, best_loss)
+
+        toc0 = time.time()
+        logger.info(
+            "Training done! Total time = %f (average per epoch = %f) seconds",
+            toc0 - tic0, (toc0 - tic0) / max(cfg.epochs, 1))
+        self.results.setdefault("best_loss", float(best_loss))
+        self.results["total_time"] = toc0 - tic0
+        return self.results
+
+    def train_one_epoch(self, ep: int, train_loader):
+        loss_terms, err_terms, nb = [], [], 0
+        bs = train_loader.batch_size
+        for x, y, _valid in train_loader:
+            key = jax.random.fold_in(self.train_key, self.bi)
+            scalars = self.step_scalars(ep)
+            self.state, (loss_, errcnt) = self._jit_step(
+                self.state, jnp.asarray(x), jnp.asarray(y), key, scalars)
+            # device-side metric scalars; host sync deferred to epoch end
+            loss_terms.append(loss_)
+            err_terms.append(errcnt)
+            nb += bs
+            self.bi += 1
+            self.after_batch(ep)
+        loss = float(jnp.sum(jnp.stack(loss_terms))) * bs / nb
+        err = float(jnp.sum(jnp.stack(err_terms))) / nb
+        return loss, err
+
+    def evaluate(self, loader):
+        """MC-predictive evaluation (reference `methods/sgld.py:253-321`).
+
+        Returns (loss, err, targets, logits, logits_all) with
+        logits_all shaped [N, S, K].
+        """
+        ps = self.pred_state()
+        loss_sum, err_sum, n = 0.0, 0.0, 0.0
+        targets, logits_list, logits_all_list = [], [], []
+        for i, (x, y, valid) in enumerate(loader):
+            key = jax.random.fold_in(self.eval_key, i)
+            logits_all = self._jit_predict(ps, jnp.asarray(x), key)  # [S,B,K]
+            logits = combine_mc_logits(logits_all)
+            y_j = jnp.asarray(y)
+            v = jnp.asarray(valid)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            picked = jnp.take_along_axis(
+                logp, y_j[:, None].astype(jnp.int32), axis=1)[:, 0]
+            loss_sum += float(jnp.sum(-picked * v))
+            err_sum += float(jnp.sum((jnp.argmax(logits, -1) != y_j) * v))
+            nv = int(valid.sum())
+            n += nv
+            targets.append(np.asarray(y)[:nv])
+            logits_list.append(np.asarray(logits)[:nv])
+            logits_all_list.append(np.asarray(logits_all).transpose(1, 0, 2)[:nv])
+        targets = np.concatenate(targets)
+        logits_np = np.concatenate(logits_list)
+        logits_all_np = np.concatenate(logits_all_list)
+        return loss_sum / n, err_sum / n, targets, logits_np, logits_all_np
+
+    def _eval_and_maybe_save(self, ep, val_loader, test_loader, best_loss):
+        cfg, logger = self.cfg, self.logger
+        val_pack = None
+        if val_loader is not None:
+            tic = time.time()
+            val_pack = self.evaluate(val_loader)
+            logger.info(
+                "(Epoch %d) Validation summary: loss = %.4f, prediction "
+                "error = %.4f (time: %.4f seconds)",
+                ep, val_pack[0], val_pack[1], time.time() - tic)
+        tic = time.time()
+        test_pack = self.evaluate(test_loader)
+        logger.info(
+            "(Epoch %d) Test summary: loss = %.4f, prediction error = %.4f "
+            "(time: %.4f seconds)",
+            ep, test_pack[0], test_pack[1], time.time() - tic)
+
+        loss_now = val_pack[0] if val_pack is not None else test_pack[0]
+        if loss_now < best_loss:
+            best_loss = loss_now
+            logger.info("Best evaluation loss so far! @epoch %d: loss = %s",
+                        ep, loss_now)
+            self.results.update(
+                best_epoch=ep,
+                best_loss=float(loss_now),
+                test_loss=float(test_pack[0]),
+                test_err=float(test_pack[1]),
+            )
+            if val_pack is not None:
+                self.save_logits(*val_pack[2:], suffix="val")
+            self.save_logits(*test_pack[2:], suffix="test")
+            self.save_ckpt(ep)
+            self._calibrate(val_pack, test_pack)
+        return best_loss
+
+    def _calibrate(self, val_pack, test_pack):
+        cfg, logger = self.cfg, self.logger
+        targets_test, logits_test = test_pack[2], test_pack[3]
+        plot = os.path.join(self.workdir, "reliability_T1.png") \
+            if self.workdir else None
+        ece, mce, nll = calibration.analyze(
+            targets_test, logits_test, num_bins=cfg.ece_num_bins,
+            plot_save_path=plot, temperature=1)
+        logger.info("[Calibration - Default T=1] ECE = %.4f, MCE = %.4f, "
+                    "NLL = %.4f", ece, mce, nll)
+        self.results.update(ece=ece, mce=mce, nll=nll)
+        if val_pack is not None:
+            curve = os.path.join(self.workdir, "temp_scale_optim_curve.png") \
+                if self.workdir else None
+            topt, success = calibration.find_optimal_temperature(
+                val_pack[2], val_pack[3], plot_save_path=curve)
+            if success:
+                plot2 = os.path.join(self.workdir, "reliability_Topt.png") \
+                    if self.workdir else None
+                ece_ts, mce_ts, nll_ts = calibration.analyze(
+                    targets_test, logits_test, num_bins=cfg.ece_num_bins,
+                    plot_save_path=plot2, temperature=topt)
+                logger.info(
+                    "[Calibration - Temp-scaled Topt=%.4f] ECE = %.4f, "
+                    "MCE = %.4f, NLL = %.4f", topt, ece_ts, mce_ts, nll_ts)
+                self.results.update(
+                    topt=topt, ece_ts=ece_ts, mce_ts=mce_ts, nll_ts=nll_ts)
+            else:
+                logger.info("!! Temperature scaling optimization failed !!")
+
+    # ---- artifacts (reference `methods/sgld.py:353-398`) -------------------
+
+    def save_logits(self, targets, logits, logits_all, suffix="test"):
+        if not self.workdir:
+            return None
+        fname = os.path.join(self.workdir, f"logits_{suffix}.pkl")
+        with open(fname, "wb") as f:
+            pickle.dump(
+                {"targets": targets, "logits": logits, "logits_all": logits_all},
+                f)
+        self.logger.info("Logits on %s set saved at %s", suffix, fname)
+        return fname
+
+    def save_ckpt(self, ep: int, fname: str = "ckpt.pkl"):
+        if not self.workdir:
+            return None
+        path = os.path.join(self.workdir, fname)
+        payload = {
+            "epoch": ep,
+            "bi": self.bi,
+            "method": self.method_name,
+            "prior_sig": self.prior_sig,
+            "state": jax.tree.map(np.asarray, self.state),
+            **self.extra_ckpt(),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        self.logger.info("Checkpoint saved at %s", path)
+        return path
+
+    def load_ckpt(self, path: str):
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        self.state = jax.tree.map(
+            jnp.asarray, payload["state"],
+            is_leaf=lambda x: isinstance(x, np.ndarray))
+        self.bi = payload.get("bi", 0)
+        return payload["epoch"]

@@ -1,0 +1,60 @@
+"""Backbone zoo: flax linen modules + registry.
+
+TPU-native counterpart of the reference's torchvision-based backbone factory
+(reference `networks/__init__.py:9-63`).  Conventions:
+  * Every backbone names its readout submodule ``head`` so that the flat-mask
+    machinery (`core/flat.path_masks`) can identify head parameters — the
+    TPU-side equivalent of the reference's `net.readout_name` attribute
+    (reference `networks/__init__.py:20,37,54`).
+  * `create_backbone(name, num_classes)` returns `(module, input_shape,
+    meta)` where meta carries `has_batch_stats`/`has_dropout` flags.
+  * Pretrained torchvision weights are imported as the *prior mean* via
+    `bayesdll_tpu.models.convert` (reference `networks/__init__.py:66-130`
+    semantics: zero-head prior copy vs random-head workhorse copy).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from bayesdll_tpu.models.mlp import MLP
+from bayesdll_tpu.models.cnn import SmallCNN
+
+_REGISTRY = {}
+
+
+def register(name):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+@register("mlp_mnist")
+def _mlp_mnist(num_classes: int = 10, **kw):
+    # Reference: MLP(input_dim=784, output_dim=10, width=1000, depth=3)
+    # (reference `networks/__init__.py:15-20`).
+    model = MLP(num_classes=num_classes, width=kw.get("width", 1000),
+                depth=kw.get("depth", 3), activation=kw.get("activation", "relu"))
+    return model, (784,), {"has_batch_stats": False, "has_dropout": False}
+
+
+@register("cnn_mnist")
+def _cnn_mnist(num_classes: int = 10, **kw):
+    model = SmallCNN(num_classes=num_classes)
+    return model, (28, 28, 1), {"has_batch_stats": False, "has_dropout": False}
+
+
+def create_backbone(name: str, num_classes: int = 10, **kw) -> Tuple:
+    """Build a backbone by registry name (reference `networks/__init__.py:9`)."""
+    if name in ("resnet101", "vit_l_32"):
+        # Imported lazily: these pull in the big-model modules.
+        from bayesdll_tpu.models import resnet, vit  # noqa: F401
+    if name not in _REGISTRY:
+        raise NotImplementedError(
+            f"backbone '{name}' not in registry {sorted(_REGISTRY)}")
+    return _REGISTRY[name](num_classes=num_classes, **kw)
+
+
+def available_backbones():
+    return sorted(_REGISTRY)

@@ -1,0 +1,99 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesdll_tpu.methods import get_runner_cls
+from bayesdll_tpu.ops import fused
+from tests.helpers import tiny_setup
+
+
+def test_sgld_update_closed_form():
+    """Noise variance must be nd^2 * 2/(N*lr) per element and the prior pull
+    (theta-theta0)/sig^2/N (reference `methods/sgld.py:468-484`)."""
+    dim = 20000
+    theta = jnp.ones((dim,)) * 2.0
+    theta0 = jnp.zeros((dim,))
+    g = jnp.zeros((dim,))
+    mask = jnp.ones((dim,))
+    lr_vec = jnp.full((dim,), 0.01)
+    n_eff, sig, nd = 1000.0, 2.0, 1.5
+    out = fused.sgld_update(g, theta, theta0, mask, lr_vec,
+                            jax.random.PRNGKey(0),
+                            prior_sig=sig, n_eff=n_eff, nd=nd)
+    out = np.asarray(out)
+    expect_mean = 2.0 / sig**2 / n_eff
+    expect_std = nd * np.sqrt(2.0 / (n_eff * 0.01))
+    assert abs(out.mean() - expect_mean) < 4 * expect_std / np.sqrt(dim)
+    assert abs(out.std() - expect_std) / expect_std < 0.05
+
+
+def test_sgld_bias_uninformative_drops_prior_pull():
+    dim = 10
+    theta = jnp.ones((dim,))
+    theta0 = jnp.zeros((dim,))
+    mask = jnp.zeros((dim,))  # all bias, uninformative
+    out = fused.sgld_update(jnp.zeros((dim,)), theta, theta0, mask,
+                            jnp.full((dim,), 1e-2), jax.random.PRNGKey(1),
+                            prior_sig=1.0, n_eff=100.0, nd=0.0)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-7)
+
+
+def test_sgld_gaussian_posterior_recovery():
+    """Statistical check on a conjugate target: a single scalar 'weight' with
+    gaussian prior and data generated so the exact posterior is known
+    (SURVEY.md §4: statistical tests substitute for the reference's
+    eyeballing of MNIST metrics)."""
+    # Model: y ~ N(theta, sig_n^2) with prior theta ~ N(0, sig0^2).
+    # CE is replaced by gaussian NLL via a custom apply_fn.
+    import flax.struct
+    from bayesdll_tpu.core.prior import FlatTarget
+
+    sig_n, sig0 = 1.0, 1.0
+    rng = np.random.RandomState(0)
+    n = 256
+    data = (1.5 + sig_n * rng.randn(n)).astype(np.float32)
+    post_var = 1.0 / (n / sig_n**2 + 1 / sig0**2)
+    post_mean = post_var * data.sum() / sig_n**2
+
+    # SGLD on -log p(data|theta)/n as "loss"; prior handled by the sampler.
+    theta = jnp.zeros((1,))
+
+    def loss_fn(th, batch):
+        return 0.5 * jnp.mean((batch - th[0]) ** 2) / sig_n**2
+
+    lr = 1e-2
+    lr_vec = jnp.full((1,), lr)
+    mask = jnp.ones((1,))
+
+    @jax.jit
+    def step(th, key, batch):
+        g = jax.grad(loss_fn)(th, batch)
+        g = fused.sgld_update(g, th, jnp.zeros((1,)), mask, lr_vec, key,
+                              prior_sig=sig0, n_eff=float(n), nd=1.0)
+        return th - lr * g
+
+    key = jax.random.PRNGKey(0)
+    samples = []
+    batch = jnp.asarray(data)
+    for i in range(4000):
+        key, k = jax.random.split(key)
+        theta = step(theta, k, batch)
+        if i > 1000 and i % 3 == 0:
+            samples.append(float(theta[0]))
+    samples = np.array(samples)
+    assert abs(samples.mean() - post_mean) < 0.1
+    assert abs(samples.var() - post_var) / post_var < 0.5
+
+
+def test_sgld_end_to_end_synthetic():
+    cfg, target, theta_init, net_state, train, val, test = tiny_setup(
+        method="sgld",
+        hparams={"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.1",
+                 "burnin": "1", "thin": "2", "bias": "informative",
+                 "nst": "3"},
+        epochs=3, lr=5e-2)
+    runner = get_runner_cls("sgld")(target, theta_init, net_state, cfg)
+    results = runner.train(train, val, test)
+    assert "nll" in results and "ece" in results
+    assert results["test_err"] < 0.9  # better than chance on 10 classes
+    assert int(runner.state.moments.cnt) > 1
