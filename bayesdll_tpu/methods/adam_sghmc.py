@@ -57,9 +57,10 @@ class Runner(base.BaseRunner):
         super().__init__(target, theta_init, net_state, cfg, **kw)
 
     def init_state(self, theta_init):
-        z = jnp.zeros_like(theta_init)
+        # separate buffers (donated state must not alias)
+        z = lambda: jnp.zeros_like(theta_init)
         return AdamSGHMCState(
-            theta=theta_init, buf=z, v_mom=z, m=z, v2=z,
+            theta=theta_init, buf=z(), v_mom=z(), m=z(), v2=z(),
             t=jnp.zeros((), jnp.int32),
             moments=RunningMoments.zeros(theta_init.shape[0]),
             step=jnp.zeros((), jnp.int32),

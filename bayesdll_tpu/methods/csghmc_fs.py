@@ -1,0 +1,133 @@
+"""cSGHMC-FS: cyclical SGHMC with full-snapshot Bayesian model averaging.
+
+TPU-native counterpart of reference `methods/csghmc_fs.py`: the cSGHMC
+sampler, plus — near each cycle end (the last ~3 epochs of each cycle,
+reference `methods/csghmc_fs.py:176-181`) — whole-parameter snapshots saved
+to disk, and a final `evaluate_full_samples` pass that loads every snapshot,
+averages the *logits* across models (BMA), and reports per-model and
+ensemble loss/error on train/val/test, pickling
+`bma_evaluation_results.pkl` and `logits_test_bma.pkl`
+(reference `methods/csghmc_fs.py:260-418`).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesdll_tpu.methods import csghmc
+
+SNAPSHOT_EPOCHS_PER_CYCLE = 3  # reference: last ~3 epochs of each cycle
+
+
+class Runner(csghmc.Runner):
+    method_name = "csghmc_fs"
+
+    def __init__(self, target, theta_init, net_state, cfg, **kw):
+        super().__init__(target, theta_init, net_state, cfg, **kw)
+        self.full_samples = {}  # epoch -> flat theta (numpy)
+
+    def _near_cycle_end(self, ep: int) -> bool:
+        epc = max(1, self.cfg.epochs // max(1, self.cfg.num_cycles))
+        return (ep % epc) >= max(0, epc - SNAPSHOT_EPOCHS_PER_CYCLE)
+
+    def train_one_epoch(self, ep: int, train_loader):
+        out = super().train_one_epoch(ep, train_loader)
+        if self._near_cycle_end(ep):
+            theta_np = np.asarray(self.state.theta)
+            self.full_samples[ep] = theta_np
+            if self.workdir:
+                path = os.path.join(self.workdir,
+                                    f"full_samples_net_ep{ep}.pkl")
+                with open(path, "wb") as f:
+                    pickle.dump(theta_np, f)
+                self.logger.info("Full snapshot saved at %s", path)
+        return out
+
+    def train(self, train_loader, val_loader, test_loader):
+        results = super().train(train_loader, val_loader, test_loader)
+        if self.full_samples:
+            bma = self.evaluate_full_samples(train_loader, val_loader,
+                                             test_loader)
+            results["bma"] = {
+                k: v for k, v in bma.items() if not k.startswith("_")}
+        return results
+
+    def evaluate_full_samples(self, train_loader, val_loader, test_loader):
+        """BMA over saved snapshots: average logits across models
+        (reference `methods/csghmc_fs.py:260-418`)."""
+        logger = self.logger
+        logger.info("Evaluating %d full snapshots (BMA)...",
+                    len(self.full_samples))
+
+        @jax.jit
+        def fwd(theta, x):
+            logits, _ = self.target.forward(theta, self.net_state, x,
+                                            train=False)
+            return logits
+
+        def eval_split(loader):
+            per_model = {ep: {"loss": 0.0, "err": 0.0} for ep in self.full_samples}
+            ens_loss, ens_err, n = 0.0, 0.0, 0.0
+            ens_logits_chunks, targets_chunks = [], []
+            for x, y, valid in loader:
+                x_j = jnp.asarray(x)
+                y_j = jnp.asarray(y)
+                v = jnp.asarray(valid)
+                nv = int(valid.sum())
+                acc = None
+                for ep, theta in self.full_samples.items():
+                    logits = fwd(jnp.asarray(theta), x_j)
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    picked = jnp.take_along_axis(
+                        logp, y_j[:, None].astype(jnp.int32), axis=1)[:, 0]
+                    per_model[ep]["loss"] += float(jnp.sum(-picked * v))
+                    per_model[ep]["err"] += float(
+                        jnp.sum((jnp.argmax(logits, -1) != y_j) * v))
+                    acc = logits if acc is None else acc + logits
+                ens = acc / float(len(self.full_samples))
+                logp = jax.nn.log_softmax(ens, axis=-1)
+                picked = jnp.take_along_axis(
+                    logp, y_j[:, None].astype(jnp.int32), axis=1)[:, 0]
+                ens_loss += float(jnp.sum(-picked * v))
+                ens_err += float(jnp.sum((jnp.argmax(ens, -1) != y_j) * v))
+                n += nv
+                ens_logits_chunks.append(np.asarray(ens)[:nv])
+                targets_chunks.append(np.asarray(y)[:nv])
+            for ep in per_model:
+                per_model[ep]["loss"] /= n
+                per_model[ep]["err"] /= n
+            return {
+                "per_model": per_model,
+                "ensemble_loss": ens_loss / n,
+                "ensemble_err": ens_err / n,
+                "_logits": np.concatenate(ens_logits_chunks),
+                "_targets": np.concatenate(targets_chunks),
+            }
+
+        out = {}
+        out["train"] = eval_split(train_loader)
+        if val_loader is not None:
+            out["val"] = eval_split(val_loader)
+        out["test"] = eval_split(test_loader)
+        for split, r in out.items():
+            logger.info("[BMA %s] ensemble loss = %.4f, err = %.4f",
+                        split, r["ensemble_loss"], r["ensemble_err"])
+
+        if self.workdir:
+            with open(os.path.join(self.workdir,
+                                   "bma_evaluation_results.pkl"), "wb") as f:
+                pickle.dump({s: {k: v for k, v in r.items()
+                                 if not k.startswith("_")}
+                             for s, r in out.items()}, f)
+            with open(os.path.join(self.workdir, "logits_test_bma.pkl"),
+                      "wb") as f:
+                pickle.dump({"targets": out["test"]["_targets"],
+                             "logits": out["test"]["_logits"]}, f)
+        flat = {f"{s}_ensemble_loss": r["ensemble_loss"] for s, r in out.items()}
+        flat.update({f"{s}_ensemble_err": r["ensemble_err"] for s, r in out.items()})
+        return flat

@@ -1,0 +1,315 @@
+"""Shared machinery for the cyclical SG-MCMC family (cSGLD / cSGHMC /
+Adam-cSGHMC / cSGHMC-FS).
+
+The reference builds this scaffolding separately in each of four ~700-1000
+line files (`methods/csgld.py`, `methods/csghmc.py`, `methods/adam_csghmc.py`,
+`methods/csghmc_fs.py`); here it exists once:
+
+  * cyclical cosine step size + phase flags as pure functions of the global
+    step (core/schedule.py; reference `methods/cyclical.py:29-74`),
+  * per-cycle streaming moments kept in device state and snapshotted to host
+    at cycle boundaries (reference `methods/csgld.py:282-290`,
+    `methods/csghmc.py:332-345`),
+  * full-train-set likelihood of nst perturbed samples at each cycle end
+    (reference `methods/csgld.py:508-562`),
+  * GMM weights w_c = 1 / mean_i(1/p_i), normalised
+    (reference `methods/csgld.py:565-594`),
+  * mixture predictive: per-component MC-average then *weighted sum of the
+    component outputs* (reference `methods/csgld.py:376-431` — for nst>0 the
+    component output is the MC-averaged log-prob vector, for nst=0 the raw
+    logits; the mixture sums these weighted, reproduced as-is),
+  * per-cycle checkpoints `{cycle}_ckpt.pkl`
+    (reference `methods/csghmc.py:530-549`).
+
+Device step stays jit-compiled once: lr / phase flags enter as traced
+scalars, so the cyclical schedule never forces a recompile.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesdll_tpu.core.schedule import CyclicalSchedule
+from bayesdll_tpu.methods import base
+
+VAR_FLOOR = 1e-12
+
+
+class CyclicalRunnerBase(base.BaseRunner):
+    """Runner skeleton for cyclical SG-MCMC methods.
+
+    Subclasses provide `_step` (consuming scalars {lr, should_sample,
+    collect}), `init_state` with a `moments` field exposing
+    update/mean_var, and optionally `on_cycle_start` (cold restarts).
+    """
+
+    def __init__(self, target, theta_init, net_state, cfg, **kw):
+        hp = cfg.hparams
+        self.ninflate = float(hp.get("Ninflate", 1.0))
+        self.nd = float(hp.get("nd", 1.0))
+        self.thin = max(1, int(hp.get("thin", 1)))
+        super().__init__(target, theta_init, net_state, cfg, **kw)
+        self.sched: CyclicalSchedule | None = None
+        self.current_cycle = 0
+        # host-side per-cycle registry: cycle -> dict(mean, var, n,
+        # likelihoods, theta)
+        self.cycle_stats: Dict[int, dict] = {}
+        self.all_samples: Dict[str, np.ndarray] = {}  # --full_sample archive
+        self._jit_ce_sum = jax.jit(self._ce_sum)
+        self._jit_perturb = jax.jit(self._perturb)
+
+    # ---- cyclical plumbing --------------------------------------------------
+
+    def _ensure_sched(self, batches_per_epoch: int):
+        if self.sched is None:
+            self.sched = CyclicalSchedule(
+                base_lr=self.cfg.lr,
+                num_cycles=self.cfg.num_cycles,
+                epochs=self.cfg.epochs,
+                batches_per_epoch=batches_per_epoch,
+                proportion_exploration=self.cfg.proportion_exploration,
+            )
+
+    def train(self, train_loader, val_loader, test_loader):
+        self._ensure_sched(len(train_loader))
+        self._loaders = (train_loader, val_loader, test_loader)
+        return super().train(train_loader, val_loader, test_loader)
+
+    def step_scalars(self, ep: int) -> dict:
+        s = self.sched
+        step = self.bi
+        bpe = s.batches_per_epoch
+        batch_idx = step % bpe
+        should_sample = s.should_sample_py(step)
+        # Reference collects when in exploitation AND the *within-epoch*
+        # batch index hits the thinning stride
+        # (reference `methods/csgld.py:221-225`).
+        collect = should_sample and (batch_idx % self.thin == 0)
+        return {
+            "lr": s.lr_py(step),
+            "should_sample": should_sample,
+            "collect": collect,
+        }
+
+    def cyclical_lr_vec(self, lr_t):
+        """Per-element lr: cyclical lr for the body, scaled by the
+        lr_head/lr ratio for the head (reference `methods/csgld.py:233-239`)."""
+        t = self.target
+        ratio = self.cfg.lr_head / self.cfg.lr
+        return lr_t * (1.0 - t.is_head) + lr_t * ratio * t.is_head
+
+    def after_batch(self, ep: int):
+        step = self.bi - 1  # train_one_epoch increments before this hook
+        if self.cfg.full_sample:
+            bpe = self.sched.batches_per_epoch
+            if self.sched.should_sample_py(step) and \
+                    ((step % bpe) % self.thin == 0):
+                self.collect_full_sample(self.state.theta, step // bpe,
+                                         step % bpe)
+        if self.sched.last_in_cycle_py(step):
+            cycle = self.sched.cycle_number_py(step)
+            self._end_of_cycle(cycle)
+
+    def eval_ready(self, ep: int) -> bool:
+        # GMM predictive needs at least one completed cycle; before that the
+        # reference does periodic point-estimate evals
+        # (reference `methods/csghmc.py:118-128`) — handled in evaluate().
+        return len(self.cycle_stats) > 0 or (ep % 5 == 0)
+
+    # ---- cycle boundary (host) ---------------------------------------------
+
+    def _end_of_cycle(self, cycle: int):
+        logger = self.logger
+        state = self.state
+        mean, var = state.moments.mean_var()
+        n = int(np.asarray(self._moments_count(state)))
+        self.cycle_stats[cycle] = {
+            "mean": np.asarray(mean),
+            "var": np.asarray(var),
+            "n": n,
+            "theta": np.asarray(state.theta),
+        }
+        if cycle > self.current_cycle:
+            self.current_cycle = cycle
+            logger.info("Completed cycle %d (samples collected: %d)", cycle, n)
+            lik = self.full_batch_likelihoods(self._loaders[0])
+            self.cycle_stats[cycle]["likelihoods"] = lik
+            logger.info("Cycle %d full batch likelihood: %.6e",
+                        cycle, float(np.mean(lik)))
+            self.save_ckpt(cycle, fname=f"{cycle}_ckpt.pkl")
+            if self.cfg.full_sample and self.workdir:
+                with open(os.path.join(self.workdir, "all_samples.pkl"), "wb") as f:
+                    pickle.dump(self.all_samples, f)
+        # reset in-state moments + notify subclass (cold restarts etc.)
+        self.state = self._reset_cycle_state(self.state)
+        self.on_cycle_start(cycle + 1)
+
+    def _moments_count(self, state):
+        m = state.moments
+        return getattr(m, "cnt", getattr(m, "n", jnp.zeros((), jnp.int32)))
+
+    def _reset_cycle_state(self, state):
+        return state.replace(moments=type(state.moments).zeros(
+            state.theta.shape[0]))
+
+    def on_cycle_start(self, cycle: int):
+        pass
+
+    # ---- full-batch likelihoods (reference `methods/csgld.py:508-562`) -----
+
+    def _ce_sum(self, theta, x, y, valid):
+        logits, _ = self.target.forward(theta, self.net_state, x, train=False)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        picked = jnp.take_along_axis(
+            logp, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+        return jnp.sum(-picked * valid)
+
+    def _perturb(self, theta, var, key):
+        eps = jax.random.normal(key, theta.shape, theta.dtype)
+        return theta + jnp.sqrt(var) * eps
+
+    def full_batch_likelihoods(self, train_loader) -> np.ndarray:
+        """likelihood_i = exp(-avg CE over the train set) for nst samples
+        perturbed around the CURRENT iterate with the current cycle's
+        variance (reference uses the live net as the mean,
+        `methods/csgld.py:517-541`)."""
+        self.logger.info(
+            "Calculating full-batch likelihood for current cycle using %d "
+            "samples...", max(1, self.nst))
+        state = self.state
+        _, var = state.moments.mean_var()
+        n = int(np.asarray(self._moments_count(state)))
+        use_noise = self.nst > 0 and n > 1
+        liks = []
+        for s in range(max(1, self.nst)):
+            key = jax.random.fold_in(self.eval_key, 10_000 + s)
+            theta_s = self._jit_perturb(state.theta, var, key) if use_noise \
+                else state.theta
+            tot, cnt = 0.0, 0
+            for x, y, valid in train_loader:
+                tot += float(self._jit_ce_sum(
+                    theta_s, jnp.asarray(x), jnp.asarray(y),
+                    jnp.asarray(valid)))
+                cnt += int(valid.sum())
+            avg = tot / cnt
+            liks.append(float(np.exp(-avg)))
+        return np.asarray(liks)
+
+    # ---- GMM predictive -----------------------------------------------------
+
+    def gmm_weights(self) -> Dict[int, float]:
+        """w_c = [mean_i 1/p_i]^-1, normalised
+        (reference `methods/csgld.py:565-594`)."""
+        cycles = [c for c in self.cycle_stats if "likelihoods" in self.cycle_stats[c]]
+        if not cycles:
+            return {0: 1.0}
+        weights = {}
+        for c in cycles:
+            lik = np.maximum(self.cycle_stats[c]["likelihoods"], 1e-300)
+            weights[c] = 1.0 / np.mean(1.0 / lik)
+        total = sum(weights.values())
+        if total > 0:
+            return {c: w / total for c, w in weights.items()}
+        return {c: 1.0 / len(weights) for c in weights}
+
+    def pred_state(self):
+        return None  # unused; evaluate() is overridden
+
+    def _predict_logits(self, pred_state, x, key):
+        raise NotImplementedError  # GMM eval path used instead
+
+    def _component_logits(self, mean, var, x, key):
+        """[S, B, K] logits for one mixture component."""
+        return base.gaussian_sample_logits(
+            self.target, self.net_state, jnp.asarray(mean), jnp.asarray(var),
+            x, key, self.nst)
+
+    def evaluate(self, loader):
+        """GMM mixture predictive (reference `methods/csgld.py:336-431`).
+
+        Before the first completed cycle: point-estimate predictive with the
+        current iterate (reference's evaluate_simple,
+        `methods/csghmc.py:211-244`)."""
+        if not any("likelihoods" in v for v in self.cycle_stats.values()):
+            return self._point_evaluate(loader)
+
+        weights = self.gmm_weights()
+        comps = [(c, w) for c, w in sorted(weights.items()) if w >= 1e-10]
+        jit_comp = jax.jit(self._component_logits)
+
+        loss_sum, err_sum, n = 0.0, 0.0, 0.0
+        targets, logits_list, logits_all_list = [], [], []
+        for i, (x, y, valid) in enumerate(loader):
+            x_j, y_j, v = jnp.asarray(x), jnp.asarray(y), jnp.asarray(valid)
+            mix = None
+            comp_stack = []
+            for c, w in comps:
+                key = jax.random.fold_in(self.eval_key, i * 1000 + c)
+                la = jit_comp(self.cycle_stats[c]["mean"],
+                              self.cycle_stats[c]["var"], x_j, key)
+                if self.nst == 0:
+                    comp_out = la[0]  # raw logits (reference `csgld.py:420`)
+                else:
+                    comp_out = base.combine_mc_logits(la)
+                comp_stack.append(np.asarray(la).transpose(1, 0, 2))
+                mix = w * comp_out if mix is None else mix + w * comp_out
+            logp = jax.nn.log_softmax(mix, axis=-1)
+            picked = jnp.take_along_axis(
+                logp, y_j[:, None].astype(jnp.int32), axis=1)[:, 0]
+            loss_sum += float(jnp.sum(-picked * v))
+            err_sum += float(jnp.sum((jnp.argmax(mix, -1) != y_j) * v))
+            nv = int(valid.sum())
+            n += nv
+            targets.append(np.asarray(y)[:nv])
+            logits_list.append(np.asarray(mix)[:nv])
+            logits_all_list.append(
+                np.concatenate(comp_stack, axis=1)[:nv])  # [B, C*S, K]
+        return (loss_sum / n, err_sum / n, np.concatenate(targets),
+                np.concatenate(logits_list), np.concatenate(logits_all_list))
+
+    def _point_evaluate(self, loader):
+        theta = self.state.theta
+
+        @jax.jit
+        def fwd(x):
+            logits, _ = self.target.forward(theta, self.net_state, x,
+                                            train=False)
+            return logits
+
+        loss_sum, err_sum, n = 0.0, 0.0, 0.0
+        targets, logits_list, logits_all_list = [], [], []
+        for x, y, valid in loader:
+            logits = fwd(jnp.asarray(x))
+            y_j, v = jnp.asarray(y), jnp.asarray(valid)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            picked = jnp.take_along_axis(
+                logp, y_j[:, None].astype(jnp.int32), axis=1)[:, 0]
+            loss_sum += float(jnp.sum(-picked * v))
+            err_sum += float(jnp.sum((jnp.argmax(logits, -1) != y_j) * v))
+            nv = int(valid.sum())
+            n += nv
+            targets.append(np.asarray(y)[:nv])
+            logits_list.append(np.asarray(logits)[:nv])
+            logits_all_list.append(np.asarray(logits)[:nv, None, :])
+        return (loss_sum / n, err_sum / n, np.concatenate(targets),
+                np.concatenate(logits_list), np.concatenate(logits_all_list))
+
+    def extra_ckpt(self):
+        return {
+            "current_cycle": self.current_cycle,
+            "cycle_stats": self.cycle_stats,
+            "thin": self.thin,
+            "nst": self.nst,
+        }
+
+    def collect_full_sample(self, theta, ep: int, batch_idx: int):
+        """--full_sample raw-theta archive (reference `methods/csgld.py:278-279`)."""
+        if self.cfg.full_sample:
+            self.all_samples[f"{ep}_{batch_idx}"] = np.asarray(theta)
