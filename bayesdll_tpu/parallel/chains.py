@@ -1,0 +1,136 @@
+"""Multi-chain sharded training: vmap over chains, shard over the mesh.
+
+The sampler step of every method is already a pure function
+`(state, x, y, key, scalars) -> (state', metrics)` over flat vectors, so
+multi-chain training is literally `jax.vmap` over a leading chain axis,
+jitted with `NamedSharding`s that place:
+
+  * sampler state  [n_chain, ...]      -> P('chain')          (1 chain/row)
+  * batch          [n_chain, B, ...]   -> P('chain', 'data')  (batch split
+                                          over 'data' within each chain)
+  * per-chain keys [n_chain, 2]        -> P('chain')
+
+XLA's SPMD partitioner then shards the per-chain forward/backward over the
+'data' axis and inserts the gradient all-reduce over ICI automatically; the
+sampler update (noise, prior pull, momentum) is computed identically on each
+data shard from the replicated per-chain key, so parameters stay in sync
+with zero extra communication.  The cyclical schedule is a pure function of
+the step index (core/schedule.py), hence phase-synchronised across every
+chip by construction (SURVEY.md §5.8).
+
+The combined posterior predictive treats chains as extra posterior samples:
+an equal-weight mixture over per-chain Gaussian approximations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bayesdll_tpu.methods import base
+
+
+class MultiChainTrainer:
+    """Runs `n_chain` independent copies of a method Runner's sampler step,
+    sharded over a ('chain', 'data') mesh."""
+
+    def __init__(self, runner, mesh: Mesh, *, seed_offset: int = 0):
+        self.runner = runner
+        self.mesh = mesh
+        self.n_chain = mesh.shape["chain"]
+        self.n_data = mesh.shape["data"]
+
+        chain_sh = NamedSharding(mesh, P("chain"))
+        batch_sh = NamedSharding(mesh, P("chain", "data"))
+        rep_sh = NamedSharding(mesh, P())
+
+        # distinct per-chain initial states: fold chain index into the init
+        keys = jax.random.split(
+            jax.random.fold_in(runner.base_key, 9999 + seed_offset),
+            self.n_chain)
+
+        def chain_init(key):
+            # jitter the initial iterate so chains decorrelate (the prior
+            # theta_init is shared; chains explore independently from there)
+            st = runner.init_state(runner.state.theta)
+            noise = 0.01 * jax.random.normal(key, st.theta.shape)
+            return st.replace(theta=st.theta + noise)
+
+        states = jax.vmap(chain_init)(keys)
+        self.states = jax.device_put(states, chain_sh)
+
+        vstep = jax.vmap(runner._step, in_axes=(0, 0, 0, 0, None))
+        self._jit_step = jax.jit(
+            vstep,
+            in_shardings=(chain_sh, batch_sh, batch_sh, chain_sh, None),
+            out_shardings=(chain_sh, (chain_sh, chain_sh)),
+            donate_argnums=0,
+        )
+        self._batch_sh = batch_sh
+        self._chain_keys = jax.random.split(
+            jax.random.fold_in(runner.train_key, seed_offset), self.n_chain)
+        self.bi = 0
+
+    def _metrics_reduce(self, loss_c, err_c):
+        return jnp.mean(loss_c), jnp.sum(err_c)
+
+    def step(self, x, y, scalars=None):
+        """One sharded multi-chain step.
+
+        x: [n_chain, B, ...], y: [n_chain, B] — per-chain batches (chains see
+        independent data orderings, like independent runs of the reference).
+        """
+        scalars = scalars if scalars is not None else \
+            self.runner.step_scalars(0)
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, self.bi))(
+            self._chain_keys)
+        x = jax.device_put(jnp.asarray(x), self._batch_sh)
+        y = jax.device_put(jnp.asarray(y), self._batch_sh)
+        self.states, (loss_c, err_c) = self._jit_step(
+            self.states, x, y, keys, scalars)
+        self.bi += 1
+        return loss_c, err_c
+
+    def train_epochs(self, train_loader, epochs: int):
+        """Host loop: each chain gets its own reshuffled pass over the data
+        (the loader is iterated n_chain times per epoch with offset seeds)."""
+        for ep in range(epochs):
+            self.runner.epoch_begin(ep)
+            losses = []
+            batches = [list(train_loader) for _ in range(self.n_chain)]
+            for bi in range(len(batches[0])):
+                x = np.stack([batches[c][bi][0] for c in range(self.n_chain)])
+                y = np.stack([batches[c][bi][1] for c in range(self.n_chain)])
+                scalars = self.runner.step_scalars(ep)
+                self.runner.bi = self.bi  # keep thinning bookkeeping aligned
+                loss_c, _ = self.step(x, y, scalars)
+                losses.append(loss_c)
+            yield ep, float(jnp.mean(jnp.stack(losses)))
+
+    # ---- combined predictive ------------------------------------------------
+
+    def chain_mean_vars(self):
+        """Per-chain (mean, var) stacks [n_chain, D] from the moment
+        accumulators."""
+        return jax.vmap(lambda m: m.mean_var())(self.states.moments)
+
+    def predict_logits(self, x, key, nst: int):
+        """Equal-weight mixture over chains: for each chain draw nst samples
+        from its Gaussian approx; combined logits = MC-average over ALL
+        chain x sample draws (chains are just more posterior samples)."""
+        means, vars_ = self.chain_mean_vars()
+        t = self.runner.target
+
+        def chain_logits(mean, var, ck):
+            return base.gaussian_sample_logits(
+                t, self.runner.net_state, mean, var, x, ck, nst)
+
+        keys = jax.random.split(key, self.n_chain)
+        logits_all = jax.vmap(chain_logits)(means, vars_, keys)  # [C,S,B,K]
+        c, s, b, k = logits_all.shape
+        return logits_all.reshape(c * s, b, k)
