@@ -1,0 +1,144 @@
+"""CLI driver: train any method on any dataset/backbone.
+
+TPU-native counterpart of reference `demo_mnist.py` / `demo_vision.py`
+(they differ only in the backbone/dataset choices and two extra methods in
+the vision dispatch — reference `demo_vision.py:229-237`; here one driver
+covers both).  Flag surface mirrors the reference CLI
+(reference `demo_mnist.py:16-54`), including the `--hparams` comma string.
+
+Usage (reference `README.md:81-84` SGLD example):
+
+  python -m bayesdll_tpu.cli.demo --method sgld --dataset mnist \
+      --backbone mlp_mnist --epochs 100 --batch_size 128 --lr 1e-2 \
+      --momentum 0.5 \
+      --hparams prior_sig=1.0,Ninflate=1e3,nd=1.0,burnin=5,thin=10,bias=informative,nst=5
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="bayesdll-tpu demo driver")
+    p.add_argument("--method", type=str, default="vanilla",
+                   help="vanilla|vi|mc_dropout|sgld|sghmc|adam_sghmc|csgld|"
+                        "csghmc|adam_csghmc|csghmc_fs|la")
+    p.add_argument("--hparams", type=str, default="",
+                   help="comma-separated key=val string")
+    p.add_argument("--pretrained", type=str, default=None,
+                   help="pretrained weights spec (e.g. path to a torchvision "
+                        "state_dict .pth) used as the prior mean")
+    p.add_argument("--dataset", type=str, default="mnist",
+                   help="mnist|cifar10|cifar100|pets|synthetic")
+    p.add_argument("--backbone", type=str, default="mlp_mnist")
+    p.add_argument("--val_heldout", type=float, default=0.1)
+    p.add_argument("--ece_num_bins", type=int, default=15)
+    p.add_argument("--num_cycles", type=int, default=4)
+    p.add_argument("--proportion_exploration", type=float, default=0.5)
+    p.add_argument("--full_sample", action="store_true")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--lr_head", type=float, default=None)
+    p.add_argument("--momentum", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_dir", type=str, default="results")
+    p.add_argument("--test_eval_freq", type=int, default=1)
+    p.add_argument("--data_root", type=str, default="data")
+    p.add_argument("--num_chains", type=int, default=1,
+                   help="independent chains over the 'chain' mesh axis "
+                        "(TPU-native; no reference equivalent)")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="within-chain batch sharding over the 'data' axis")
+    return p.parse_args(argv)
+
+
+def build_all(cfg, logger):
+    """Data + backbone + prior + runner (reference `demo_mnist.py:160-230`)."""
+    import jax
+    from bayesdll_tpu.core.prior import make_flat_target
+    from bayesdll_tpu.data import prepare
+    from bayesdll_tpu.methods import get_runner_cls
+    from bayesdll_tpu.models import create_backbone
+
+    train, val, test, nd = prepare(cfg)
+    logger.info("dataset %s prepared: ND=%d, num_classes=%d",
+                cfg.dataset, nd, cfg.num_classes)
+
+    model, input_shape, meta = create_backbone(
+        cfg.backbone, num_classes=cfg.num_classes)
+
+    theta0_params = None
+    if cfg.pretrained is not None:
+        # pretrained weights as the prior mean with ZEROED head (reference
+        # `networks/__init__.py:90-92`); the workhorse keeps a random head.
+        from bayesdll_tpu.models import convert
+        theta0_params = convert.load_pretrained_params(
+            cfg.pretrained, cfg.backbone, num_classes=cfg.num_classes,
+            zero_head=True)
+
+    target, theta_init, net_state = make_flat_target(
+        model, input_shape, nd_size=nd, num_classes=cfg.num_classes,
+        rng=jax.random.PRNGKey(cfg.seed), theta0_params=theta0_params,
+        has_batch_stats=meta.get("has_batch_stats", False))
+
+    if cfg.pretrained is not None:
+        # workhorse init = pretrained body + freshly-initialised head
+        # (reference `networks/__init__.py:93-98`, `demo_mnist.py:180-183`)
+        from bayesdll_tpu.models import convert
+        theta_init = convert.pretrained_workhorse_theta(
+            cfg.pretrained, cfg.backbone, target, theta_init,
+            num_classes=cfg.num_classes)
+
+    runner_cls = get_runner_cls(cfg.method)
+    workdir = os.path.join(cfg.log_dir, cfg.run_name())
+    runner = runner_cls(target, theta_init, net_state, cfg, logger=logger,
+                        workdir=workdir)
+    return runner, (train, val, test)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from bayesdll_tpu.config import Config
+
+    cfg = Config(
+        method=args.method, hparams=args.hparams, pretrained=args.pretrained,
+        dataset=args.dataset, backbone=args.backbone,
+        val_heldout=args.val_heldout, ece_num_bins=args.ece_num_bins,
+        num_cycles=args.num_cycles,
+        proportion_exploration=args.proportion_exploration,
+        full_sample=args.full_sample, epochs=args.epochs,
+        batch_size=args.batch_size, lr=args.lr, lr_head=args.lr_head,
+        momentum=args.momentum, seed=args.seed, log_dir=args.log_dir,
+        test_eval_freq=args.test_eval_freq, data_root=args.data_root,
+        num_chains=args.num_chains,
+    )
+
+    np.random.seed(cfg.seed)
+
+    workdir = os.path.join(cfg.log_dir, cfg.run_name())
+    os.makedirs(workdir, exist_ok=True)
+    # file + stream logging (reference `demo_mnist.py:148-158`)
+    logger = logging.getLogger("bayesdll_tpu")
+    logger.setLevel(logging.INFO)
+    fmt = logging.Formatter("[%(asctime)s] %(message)s")
+    for h in (logging.FileHandler(os.path.join(workdir, "logs.txt")),
+              logging.StreamHandler(sys.stdout)):
+        h.setFormatter(fmt)
+        logger.addHandler(h)
+    logger.info("Args: %s", vars(args))
+
+    runner, loaders = build_all(cfg, logger)
+    results = runner.train(*loaders)
+    logger.info("Final results: %s", results)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""ResNet (bottleneck) backbones, torchvision-v1-compatible structure.
+
+TPU-native counterpart of the reference's `torchvision.models.resnet101()`
+backbone with its `fc` head replaced by a task Linear
+(reference `networks/__init__.py:22-37`).  The flax module tree mirrors the
+torchvision parameter layout 1:1 (module names `conv1`, `bn1`,
+`layer{1..4}_{i}` with `conv1..3`, `bn1..3`, `downsample_conv`,
+`downsample_bn`; head named `head` = torchvision `fc`) so pretrained
+state_dicts convert mechanically (`bayesdll_tpu/models/convert.py`).
+
+TPU notes: NHWC layout, BatchNorm with running stats in a `batch_stats`
+collection (epsilon 1e-5, momentum 0.9 = 1 - torch's 0.1).  Inputs are
+normalised images of any spatial size; global average pooling feeds the head.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from bayesdll_tpu.models import register
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4) + residual."""
+
+    width: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name=name)
+        out_ch = self.width * 4
+
+        identity = x
+        y = nn.Conv(self.width, (1, 1), use_bias=False, name="conv1")(x)
+        y = bn("bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
+                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
+        y = bn("bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
+        y = bn("bn3")(y)
+
+        if self.downsample:
+            identity = nn.Conv(out_ch, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name="downsample_conv")(x)
+            identity = bn("downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet(nn.Module):
+    stage_sizes: Sequence[int]
+    num_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if x.ndim == 3:
+            x = x[..., None]
+        x = x.astype(jnp.float32)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        widths = (64, 128, 256, 512)
+        for li, (n_blocks, w) in enumerate(zip(self.stage_sizes, widths)):
+            for bi in range(n_blocks):
+                stride = 2 if (li > 0 and bi == 0) else 1
+                # first block of every stage changes channels -> downsample
+                x = Bottleneck(width=w, stride=stride, downsample=(bi == 0),
+                               name=f"layer{li + 1}_{bi}")(x, train=train)
+
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        # head init: He-normal kernel / zero bias
+        # (reference `networks/__init__.py:31-35`)
+        x = nn.Dense(self.num_classes, name="head",
+                     kernel_init=nn.initializers.he_normal(),
+                     bias_init=nn.initializers.zeros_init())(x)
+        return x
+
+
+@register("resnet101")
+def _resnet101(num_classes: int = 1000, **kw):
+    model = ResNet(stage_sizes=(3, 4, 23, 3), num_classes=num_classes)
+    return model, (224, 224, 3), {"has_batch_stats": True,
+                                  "has_dropout": False}
+
+
+@register("resnet50")
+def _resnet50(num_classes: int = 1000, **kw):
+    model = ResNet(stage_sizes=(3, 4, 6, 3), num_classes=num_classes)
+    return model, (224, 224, 3), {"has_batch_stats": True,
+                                  "has_dropout": False}

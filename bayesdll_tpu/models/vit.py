@@ -1,0 +1,120 @@
+"""Vision Transformer backbones, torchvision-compatible structure.
+
+TPU-native counterpart of the reference's `torchvision.models.vit_l_32()`
+backbone with its `heads.head` replaced by a task Linear
+(reference `networks/__init__.py:39-54`).  Module tree mirrors torchvision's
+parameter layout (conv_proj / class_token / pos_embedding / encoder layers
+with ln_1, attention {qkv, out}, ln_2, mlp {dense_0, dense_1} / final ln /
+head) so IMAGENET1K_V1 state_dicts convert mechanically
+(`bayesdll_tpu/models/convert.py`).
+
+TPU notes: attention is plain einsum MHA — at 50 tokens (224/32 patches + 1
+class token) the matmuls are small; the MXU win comes from batching, so the
+whole encoder runs in a single jit with batch as the leading dim.  bf16
+compute is toggled by the caller via Config.compute_dtype.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from bayesdll_tpu.models import register
+
+
+class MHSA(nn.Module):
+    """Multi-head self-attention with torchvision's packed-qkv layout."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, d = x.shape
+        h = self.heads
+        hd = d // h
+        qkv = nn.Dense(3 * d, name="qkv")(x)  # = torch in_proj (packed)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(a):
+            return a.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                         preferred_element_type=jnp.float32) / np.sqrt(hd)
+        att = nn.softmax(att, axis=-1)
+        y = jnp.einsum("bhqk,bhkd->bhqd", att, v,
+                       preferred_element_type=jnp.float32)
+        y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
+        return nn.Dense(d, name="out")(y)
+
+
+class EncoderBlock(nn.Module):
+    dim: int
+    heads: int
+    mlp_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=1e-6, name="ln_1")(x)
+        x = x + MHSA(self.dim, self.heads, name="attention")(y)
+        y = nn.LayerNorm(epsilon=1e-6, name="ln_2")(x)
+        y = nn.Dense(self.mlp_dim, name="mlp_dense_0")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, name="mlp_dense_1")(y)
+        return x + y
+
+
+class ViT(nn.Module):
+    patch: int = 32
+    dim: int = 1024
+    depth: int = 24
+    heads: int = 16
+    mlp_dim: int = 4096
+    image_size: int = 224
+    num_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(jnp.float32)
+        b = x.shape[0]
+        x = nn.Conv(self.dim, (self.patch, self.patch),
+                    strides=(self.patch, self.patch), padding="VALID",
+                    name="conv_proj")(x)
+        x = x.reshape(b, -1, self.dim)  # [B, T, D]
+        t = x.shape[1]
+
+        cls = self.param("class_token", nn.initializers.zeros,
+                         (1, 1, self.dim))
+        x = jnp.concatenate([jnp.tile(cls, (b, 1, 1)), x], axis=1)
+        pos = self.param("pos_embedding",
+                         nn.initializers.normal(stddev=0.02),
+                         (1, t + 1, self.dim))
+        x = x + pos
+
+        for i in range(self.depth):
+            x = EncoderBlock(self.dim, self.heads, self.mlp_dim,
+                             name=f"encoder_layer_{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="ln")(x)
+        x = x[:, 0]  # class token
+        x = nn.Dense(self.num_classes, name="head",
+                     kernel_init=nn.initializers.he_normal(),
+                     bias_init=nn.initializers.zeros_init())(x)
+        return x
+
+
+@register("vit_l_32")
+def _vit_l_32(num_classes: int = 1000, **kw):
+    model = ViT(patch=32, dim=1024, depth=24, heads=16, mlp_dim=4096,
+                image_size=224, num_classes=num_classes)
+    return model, (224, 224, 3), {"has_batch_stats": False,
+                                  "has_dropout": False}
+
+
+@register("vit_b_16")
+def _vit_b_16(num_classes: int = 1000, **kw):
+    model = ViT(patch=16, dim=768, depth=12, heads=12, mlp_dim=3072,
+                image_size=224, num_classes=num_classes)
+    return model, (224, 224, 3), {"has_batch_stats": False,
+                                  "has_dropout": False}

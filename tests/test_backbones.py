@@ -1,0 +1,221 @@
+"""Backbone structure + torch->flax conversion numerics.
+
+The pretrained-prior workflow (reference `networks/__init__.py:66-130`) is
+the library's headline capability, so the conversion is verified by
+constructing torch models with torchvision's exact parameter naming and
+comparing forward outputs through `models/convert.py`.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+from bayesdll_tpu.models import create_backbone
+from bayesdll_tpu.models import convert
+from bayesdll_tpu.models.resnet import ResNet
+from bayesdll_tpu.models.vit import ViT
+
+RESNET101_PARAMS = 44_549_160   # torchvision resnet101, 1000 classes
+VIT_L_32_PARAMS = 306_535_400   # torchvision vit_l_32, 1000 classes
+
+
+def _count(params):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+@pytest.mark.slow
+def test_resnet101_param_count_matches_torchvision():
+    model, input_shape, meta = create_backbone("resnet101", num_classes=1000)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    assert meta["has_batch_stats"]
+    assert _count(variables["params"]) == RESNET101_PARAMS
+
+
+@pytest.mark.slow
+def test_vit_l_32_param_count_matches_torchvision():
+    model, input_shape, meta = create_backbone("vit_l_32", num_classes=1000)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 224, 224, 3)), train=False)
+    assert _count(variables["params"]) == VIT_L_32_PARAMS
+
+
+# ---- torch reference models with torchvision naming ------------------------
+
+class TorchBottleneck(tnn.Module):
+    def __init__(self, cin, width, stride, downsample):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride=stride, padding=1,
+                                bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, width * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(width * 4)
+        self.relu = tnn.ReLU()
+        if downsample:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, width * 4, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(width * 4))
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        idt = x
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        if self.downsample is not None:
+            idt = self.downsample(x)
+        return self.relu(y + idt)
+
+
+class TorchMiniResNet(tnn.Module):
+    """stage_sizes=(1,1,1,1) bottleneck resnet with torchvision naming."""
+
+    def __init__(self, num_classes=7):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU()
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+        cin = 64
+        for li, w in enumerate((64, 128, 256, 512)):
+            stride = 1 if li == 0 else 2
+            setattr(self, f"layer{li + 1}",
+                    tnn.Sequential(TorchBottleneck(cin, w, stride, True)))
+            cin = w * 4
+        self.avgpool = tnn.AdaptiveAvgPool2d(1)
+        self.fc = tnn.Linear(2048, num_classes)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for li in range(4):
+            x = getattr(self, f"layer{li + 1}")(x)
+        x = self.avgpool(x).flatten(1)
+        return self.fc(x)
+
+
+def test_resnet_conversion_numerics():
+    torch.manual_seed(0)
+    tm = TorchMiniResNet(num_classes=7).eval()
+    # randomise BN running stats so eval-mode normalisation is non-trivial
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    params, stats = convert.resnet_params_from_torch(
+        sd, (1, 1, 1, 1), num_classes=7, zero_head=False)
+
+    fm = ResNet(stage_sizes=(1, 1, 1, 1), num_classes=7)
+    x = np.random.RandomState(0).randn(2, 32, 32, 3).astype(np.float32)
+    out_flax = fm.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(x), train=False)
+    with torch.no_grad():
+        out_torch = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(out_flax), out_torch,
+                               rtol=2e-4, atol=2e-4)
+
+
+class TorchMiniViT(tnn.Module):
+    """Tiny ViT with torchvision vit naming (encoder.layers.encoder_layer_i...)."""
+
+    def __init__(self, patch=16, dim=64, depth=2, heads=4, mlp_dim=128,
+                 img=32, num_classes=5):
+        super().__init__()
+        self.conv_proj = tnn.Conv2d(3, dim, patch, stride=patch)
+        t = (img // patch) ** 2
+        self.class_token = tnn.Parameter(torch.zeros(1, 1, dim))
+        self.dim, self.depth = dim, depth
+
+        class Block(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.ln_1 = tnn.LayerNorm(dim, eps=1e-6)
+                self.self_attention = tnn.MultiheadAttention(
+                    dim, heads, batch_first=True)
+                self.ln_2 = tnn.LayerNorm(dim, eps=1e-6)
+                self.mlp = tnn.Sequential(
+                    tnn.Linear(dim, mlp_dim), tnn.GELU(), tnn.Dropout(0.0),
+                    tnn.Linear(mlp_dim, dim))
+
+            def forward(self, x):
+                y = self.ln_1(x)
+                a, _ = self.self_attention(y, y, y, need_weights=False)
+                x = x + a
+                return x + self.mlp(self.ln_2(x))
+
+        class Encoder(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.pos_embedding = tnn.Parameter(
+                    torch.randn(1, t + 1, dim) * 0.02)
+                self.layers = tnn.ModuleDict(
+                    {f"encoder_layer_{i}": Block() for i in range(depth)})
+                self.ln = tnn.LayerNorm(dim, eps=1e-6)
+
+            def forward(self, x):
+                x = x + self.pos_embedding
+                for i in range(depth):
+                    x = self.layers[f"encoder_layer_{i}"](x)
+                return self.ln(x)
+
+        self.encoder = Encoder()
+        self.heads = tnn.Sequential()
+        self.heads.add_module("head", tnn.Linear(dim, num_classes))
+
+    def forward(self, x):
+        x = self.conv_proj(x)  # [B, D, H', W']
+        b, d, h, w = x.shape
+        x = x.reshape(b, d, h * w).permute(0, 2, 1)
+        cls = self.class_token.expand(b, -1, -1)
+        x = torch.cat([cls, x], dim=1)
+        x = self.encoder(x)
+        return self.heads.head(x[:, 0])
+
+
+def test_vit_conversion_numerics():
+    torch.manual_seed(1)
+    tm = TorchMiniViT().eval()
+    with torch.no_grad():
+        tm.class_token.normal_(0, 0.1)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    params, _ = convert.vit_params_from_torch(
+        sd, depth=2, dim=64, num_classes=5, zero_head=False)
+    fm = ViT(patch=16, dim=64, depth=2, heads=4, mlp_dim=128, image_size=32,
+             num_classes=5)
+    x = np.random.RandomState(1).randn(2, 32, 32, 3).astype(np.float32)
+    out_flax = fm.apply({"params": params}, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        out_torch = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(out_flax), out_torch,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pretrained_prior_zero_head_and_workhorse(tmp_path):
+    """End-to-end pretrained-prior workflow on the mini resnet via a saved
+    state_dict file: prior head zeroed, workhorse head random, bodies equal
+    (reference `networks/__init__.py:66-130`, `demo_mnist.py:180-183`)."""
+    torch.manual_seed(2)
+    tm = TorchMiniResNet(num_classes=1000)
+    path = str(tmp_path / "mini.pth")
+    torch.save(tm.state_dict(), path)
+
+    import bayesdll_tpu.models.convert as cv
+    orig = cv._ARCH
+    cv._ARCH = dict(orig, mini_resnet=dict(kind="resnet",
+                                           stage_sizes=(1, 1, 1, 1)))
+    try:
+        prior = cv.load_pretrained_params(path, "mini_resnet", num_classes=7,
+                                          zero_head=True)
+        assert float(jnp.abs(prior["head"]["kernel"]).max()) == 0.0
+        assert float(jnp.abs(prior["conv1"]["kernel"]).max()) > 0.0
+    finally:
+        cv._ARCH = orig
