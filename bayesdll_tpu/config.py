@@ -55,6 +55,7 @@ class Config:
     num_chains: int = 1           # independent chains over the 'chain' mesh axis
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {'chain': 4, 'data': 2}
     compute_dtype: str = "float32"  # forward-pass dtype ('bfloat16' for big nets)
+    fused_steps: bool = False  # scan whole epochs into one XLA dispatch
 
     def __post_init__(self):
         if isinstance(self.hparams, str):

@@ -106,6 +106,7 @@ class BaseRunner:
         self.bi = 0  # global batch iteration counter (reference `sgld.py:86`)
         self._jit_step = jax.jit(self._step, donate_argnums=0)
         self._jit_predict = jax.jit(self._predict_logits)
+        self._jit_scan_step = None  # built lazily (fused multi-step path)
 
         self.results = {}
 
@@ -141,6 +142,56 @@ class BaseRunner:
     def extra_ckpt(self) -> dict:
         return {}
 
+    def device_scalars(self, ep: int, bi):
+        """Traced per-step scalars as a function of the (traced) global step
+        index `bi` — the inside-jit mirror of `step_scalars`, enabling the
+        fused multi-step scan path.  Methods whose scalars depend on bi
+        (thinning, cyclical phase) override this; ep is static per segment.
+        Return None if the method cannot express its scalars on device."""
+        return {}
+
+    # ---- fused multi-step execution ----------------------------------------
+    #
+    # TPU-native optimisation with no reference analog: the reference
+    # dispatches one Python-driven step per batch; here a whole run of steps
+    # executes as ONE XLA program via lax.scan, amortising dispatch latency
+    # (dominant at small-model scale) and letting XLA pipeline the
+    # HBM traffic of consecutive sampler updates.
+
+    def _fused_key(self, ep: int):
+        """Cache key for the fused scan program: epochs that produce the same
+        traced behavior share one compile.  Methods using ep only through
+        'ep >= burnin' return that bool (override as needed)."""
+        return 0
+
+    def run_steps(self, ep: int, xs, ys, bi0: int):
+        """Execute len(xs) consecutive train steps in one dispatch.
+
+        xs: [K, B, ...], ys: [K, B] stacked batches; bi0 = global step index
+        of the first batch.  Returns stacked (loss[K], err[K]).
+        """
+        if self._jit_scan_step is None:
+            self._jit_scan_step = {}
+        cache_key = self._fused_key(ep)
+        if cache_key not in self._jit_scan_step:
+            def scan_fn(state, xs, ys, bi0, _ep=ep):
+                def body(st, inp):
+                    x, y, i = inp
+                    key = jax.random.fold_in(self.train_key, bi0 + i)
+                    sc = self.device_scalars(_ep, bi0 + i)
+                    st, metrics = self._step(st, x, y, key, sc)
+                    return st, metrics
+
+                idx = jnp.arange(xs.shape[0], dtype=jnp.int32)
+                return jax.lax.scan(body, state, (xs, ys, idx))
+
+            self._jit_scan_step[cache_key] = jax.jit(
+                scan_fn, donate_argnums=0)
+        self.state, (loss_k, err_k) = self._jit_scan_step[cache_key](
+            self.state, xs, ys, jnp.asarray(bi0, jnp.int32))
+        self.bi = bi0 + int(xs.shape[0])
+        return loss_k, err_k
+
     # ---- shared skeleton ----------------------------------------------------
 
     def train(self, train_loader, val_loader, test_loader):
@@ -174,7 +225,19 @@ class BaseRunner:
         self.results["total_time"] = toc0 - tic0
         return self.results
 
+    def use_fused(self, ep: int) -> bool:
+        return bool(getattr(self.cfg, "fused_steps", False)) \
+            and not self.cfg.full_sample \
+            and self.device_scalars(ep, jnp.zeros((), jnp.int32)) is not None
+
+    def segment_ends(self, ep: int, n_steps: int):
+        """Step indices (exclusive, within-epoch) after which host-side work
+        must run.  Default: none — one segment per memory chunk."""
+        return []
+
     def train_one_epoch(self, ep: int, train_loader):
+        if self.use_fused(ep):
+            return self._train_one_epoch_fused(ep, train_loader)
         loss_terms, err_terms, nb = [], [], 0
         bs = train_loader.batch_size
         for x, y, _valid in train_loader:
@@ -191,6 +254,48 @@ class BaseRunner:
         loss = float(jnp.sum(jnp.stack(loss_terms))) * bs / nb
         err = float(jnp.sum(jnp.stack(err_terms))) / nb
         return loss, err
+
+    FUSED_BYTES_BUDGET = 256 * 1024 * 1024  # max stacked batch bytes/segment
+
+    def _train_one_epoch_fused(self, ep: int, train_loader):
+        batches = list(train_loader)
+        n = len(batches)
+        bs = train_loader.batch_size
+        xs_all = np.stack([b[0] for b in batches])
+        ys_all = np.stack([b[1] for b in batches])
+        per_step = xs_all[0].nbytes + ys_all[0].nbytes
+        max_k = max(1, self.FUSED_BYTES_BUDGET // per_step)
+
+        # segment at host-work boundaries (cycle ends) and memory chunks
+        ends = sorted(set(list(self.segment_ends(ep, n)) + [n]))
+        cuts = []
+        prev = 0
+        for e in ends:
+            while e - prev > max_k:
+                cuts.append((prev, prev + max_k, False))
+                prev += max_k
+            if e > prev:
+                cuts.append((prev, e, True))
+                prev = e
+
+        loss_parts, err_parts = [], []
+        for (s, e, host_work) in cuts:
+            bi0 = self.bi
+            loss_k, err_k = self.run_steps(
+                ep, jnp.asarray(xs_all[s:e]), jnp.asarray(ys_all[s:e]), bi0)
+            loss_parts.append(jnp.sum(loss_k))
+            err_parts.append(jnp.sum(err_k))
+            if host_work:
+                self.after_segment(ep)
+        nb = n * bs
+        loss = float(jnp.sum(jnp.stack(loss_parts))) * bs / nb
+        err = float(jnp.sum(jnp.stack(err_parts))) / nb
+        return loss, err
+
+    def after_segment(self, ep: int):
+        """Host work at a segment boundary (fused path); default: the same
+        bookkeeping after_batch would have done at this step."""
+        self.after_batch(ep)
 
     def evaluate(self, loader):
         """MC-predictive evaluation (reference `methods/sgld.py:253-321`).

@@ -105,6 +105,25 @@ class CyclicalRunnerBase(base.BaseRunner):
         ratio = self.cfg.lr_head / self.cfg.lr
         return lr_t * (1.0 - t.is_head) + lr_t * ratio * t.is_head
 
+    def device_scalars(self, ep: int, bi):
+        """Traced cyclical scalars for the fused scan path: the schedule is a
+        pure function of the global step, so lr/phase/thinning all trace."""
+        s = self.sched
+        if s is None:
+            return None
+        lr = s.lr(bi)
+        ss = s.should_sample(jnp.asarray(bi))
+        batch_idx = jnp.mod(bi, s.batches_per_epoch)
+        collect = jnp.logical_and(ss, jnp.mod(batch_idx, self.thin) == 0)
+        return {"lr": lr, "should_sample": ss, "collect": collect}
+
+    def segment_ends(self, ep: int, n_steps: int):
+        """Cut fused segments at cycle boundaries so the host-side cycle-end
+        work (snapshot, likelihoods, ckpt) runs at the right steps."""
+        base = self.bi
+        return [i + 1 for i in range(n_steps)
+                if self.sched.last_in_cycle_py(base + i)]
+
     def after_batch(self, ep: int):
         step = self.bi - 1  # train_one_epoch increments before this hook
         if self.cfg.full_sample:

@@ -74,6 +74,15 @@ class Runner(base.BaseRunner):
     def eval_ready(self, ep: int) -> bool:
         return ep >= self.burnin
 
+    def device_scalars(self, ep: int, bi):
+        collect = jnp.logical_and(
+            jnp.asarray(ep >= self.burnin),
+            jnp.mod(bi + 1, self.thin) == 0)
+        return {"collect": collect}
+
+    def _fused_key(self, ep: int):
+        return ep >= self.burnin
+
     def _step(self, state, x, y, key, scalars):
         t, cfg = self.target, self.cfg
         n_eff = float(t.nd_size) * self.ninflate

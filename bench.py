@@ -48,23 +48,27 @@ def main():
         jax.random.randint(jax.random.PRNGKey(2), (bs,), 0, 10), jnp.int32)
     scalars = {"lr": 0.01, "should_sample": True, "collect": True}
 
-    state = runner.state
-    step = runner._jit_step
+    # fused multi-step execution: K steps per XLA dispatch (lax.scan),
+    # verified bit-equivalent to the per-batch path in tests/test_fused_steps.py
+    from bayesdll_tpu.core.schedule import CyclicalSchedule
+    runner.sched = CyclicalSchedule(base_lr=cfg.lr, num_cycles=2,
+                                    epochs=cfg.epochs, batches_per_epoch=100)
+    k = 50
+    xs = jnp.broadcast_to(x, (k,) + x.shape)
+    ys = jnp.broadcast_to(y, (k,) + y.shape)
 
     # warmup/compile
-    for i in range(3):
-        state, metrics = step(state, x, y, jax.random.PRNGKey(i), scalars)
-    jax.block_until_ready(state)
+    runner.run_steps(0, xs, ys, 0)
+    jax.block_until_ready(runner.state)
 
-    n = 200
+    n_scans = 8
     t0 = time.perf_counter()
-    for i in range(n):
-        state, metrics = step(state, x, y, jax.random.PRNGKey(100 + i),
-                              scalars)
-    jax.block_until_ready(state)
+    for i in range(n_scans):
+        runner.run_steps(0, xs, ys, k * (1 + i))
+    jax.block_until_ready(runner.state)
     dt = time.perf_counter() - t0
 
-    grad_evals_per_sec = n * bs / dt
+    grad_evals_per_sec = n_scans * k * bs / dt
     print(json.dumps({
         "metric": "csghmc_mlp_mnist_grad_evals_per_sec_per_chip",
         "value": round(grad_evals_per_sec, 1),
