@@ -1,0 +1,250 @@
+"""Metric parity: bayesdll_tpu vs the reference PyTorch implementation.
+
+Runs the SAME synthetic classification task through (a) the reference's
+actual Runner code at /root/reference (torch CPU, dynamically imported with
+its unavailable deps stubbed) and (b) bayesdll_tpu, with matched configs,
+and compares posterior-predictive NLL / prediction error / ECE.
+
+MNIST itself is not downloadable in this environment (zero egress), so this
+substitutes BASELINE.md's "run the reference commands" procedure with a
+same-data, same-protocol comparison — trajectories cannot match exactly
+(different RNGs), so the bar is metric agreement within Monte-Carlo error,
+exactly as BASELINE.md specifies.
+
+Usage: python tools/parity_vs_reference.py [--methods vanilla,sgld,vi]
+Writes PARITY.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.machinery
+import importlib.util
+import logging
+import os
+import sys
+import tempfile
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+
+
+# ---------------------------------------------------------------- stubs ----
+
+def _stub_module(name):
+    m = types.ModuleType(name)
+    # torch._dynamo probes importlib.util.find_spec on sys.modules entries;
+    # a None __spec__ makes it raise, so give stubs a real ModuleSpec
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return m
+
+
+def _install_reference_stubs():
+    for name in ["torchvision", "torchvision.models",
+                 "torchvision.transforms", "torchvision.datasets", "wandb"]:
+        sys.modules.setdefault(name, _stub_module(name))
+    tq = _stub_module("tqdm")
+    tqn = _stub_module("tqdm.notebook")
+
+    def _tqdm(x=None, **k):
+        class _Wrap:
+            def __init__(self, it):
+                self.it = it
+            def __iter__(self):
+                return iter(self.it) if self.it is not None else iter(())
+            def __enter__(self):
+                return self
+            def __exit__(self, *a):
+                return False
+            def set_postfix(self, **k):
+                pass
+        return _Wrap(x)
+
+    tqn.tqdm = _tqdm
+    tq.tqdm = _tqdm
+    tq.notebook = tqn
+    sys.modules["tqdm"] = tq
+    sys.modules["tqdm.notebook"] = tqn
+
+    # the reference's calibration module works as-is (scipy/matplotlib exist)
+    spec = importlib.util.spec_from_file_location(
+        "ref_calibration", os.path.join(REF, "calibration.py"))
+    cal = importlib.util.module_from_spec(spec)
+    sys.modules["calibration"] = cal
+    bd = types.ModuleType("bayesdll")
+    bd.calibration = cal
+    sys.modules["bayesdll"] = bd
+    sys.modules["bayesdll.calibration"] = cal
+    spec.loader.exec_module(cal)
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+
+def _load_ref(name, fname):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF, fname))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# ----------------------------------------------------------------- data ----
+
+def make_data(seed=0, n_train=4096, n_test=1024, d=784, k=10, noise=3.0):
+    rng = np.random.RandomState(seed + 1234)
+    prototypes = rng.randn(k, d).astype(np.float32)
+
+    def gen(n):
+        y = rng.randint(0, k, size=n).astype(np.int64)
+        x = prototypes[y] + noise * rng.randn(n, d).astype(np.float32)
+        return x, y
+
+    return gen(n_train), gen(n_test)
+
+
+CONFIG = dict(epochs=6, batch_size=128, lr=2e-2, lr_head=2e-2, momentum=0.0,
+              val_heldout=0.0, seed=0)
+
+HPARAMS = {
+    "vanilla": {"wd": "1e-4", "bias": "penalty"},
+    "sgld": {"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.05",
+             "burnin": "2", "thin": "2", "bias": "informative", "nst": "5"},
+    "vi": {"prior_sig": "1.0", "kld": "1e-5", "bias": "informative",
+           "nst": "5"},
+    "mc_dropout": {"prior_sig": "1.0", "p_drop": "0.1", "kld": "1e-5",
+                   "bias": "gaussian", "nst": "5"},
+    "sghmc": {"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.05",
+              "burnin": "2", "thin": "2", "bias": "informative", "nst": "5",
+              "momentum_decay": "0.05"},
+}
+
+
+# ------------------------------------------------------------- reference ----
+
+def run_reference(method, train_np, test_np, workdir):
+    import torch
+    from torch.utils.data import DataLoader, TensorDataset
+
+    _install_reference_stubs()
+    small_nets = _load_ref("ref_small_nets", "networks/small_nets.py")
+    ref_mod = _load_ref(f"ref_{method}", f"methods/{method}.py")
+
+    torch.manual_seed(CONFIG["seed"])
+    net = small_nets.MLP(input_dim=784, output_dim=10, width=100, depth=2)
+    net.readout_name = "classifier"
+
+    (xtr, ytr), (xte, yte) = train_np, test_np
+    train_loader = DataLoader(
+        TensorDataset(torch.from_numpy(xtr), torch.from_numpy(ytr)),
+        batch_size=CONFIG["batch_size"], shuffle=True, drop_last=True)
+    test_loader = DataLoader(
+        TensorDataset(torch.from_numpy(xte), torch.from_numpy(yte)),
+        batch_size=CONFIG["batch_size"])
+
+    args = argparse.Namespace(
+        method=method, hparams=HPARAMS[method], pretrained=None,
+        dataset="synthetic", backbone="mlp", val_heldout=0.0,
+        ece_num_bins=15, epochs=CONFIG["epochs"],
+        batch_size=CONFIG["batch_size"], lr=CONFIG["lr"],
+        lr_head=CONFIG["lr_head"], momentum=CONFIG["momentum"],
+        seed=CONFIG["seed"], log_dir=workdir, test_eval_freq=1,
+        device="cpu", ND=len(xtr) - (len(xtr) % CONFIG["batch_size"]),
+        use_wandb=False,
+    )
+    logger = logging.getLogger(f"ref_{method}")
+    logger.addHandler(logging.NullHandler())
+
+    runner = ref_mod.Runner(net, None, args, logger)
+    runner.train(train_loader, None, test_loader)
+
+    loss, err, targets, logits, *_ = runner.evaluate(test_loader)
+    cal = sys.modules["calibration"]
+    ece, mce, nll = cal.analyze(targets, logits, 15,
+                                os.path.join(workdir, "rel.png"), 1)
+    return {"nll": float(nll), "err": float(err), "ece": float(ece)}
+
+
+# ------------------------------------------------------------------ ours ----
+
+def run_ours(method, train_np, test_np, workdir):
+    import jax
+    from bayesdll_tpu.config import Config
+    from bayesdll_tpu.core.prior import make_flat_target
+    from bayesdll_tpu.data.loader import ArrayLoader
+    from bayesdll_tpu.methods import get_runner_cls
+    from bayesdll_tpu.models import create_backbone
+
+    cfg = Config(method=method, hparams=dict(HPARAMS[method]),
+                 dataset="synthetic", backbone="mlp_mnist",
+                 epochs=CONFIG["epochs"], batch_size=CONFIG["batch_size"],
+                 lr=CONFIG["lr"], lr_head=CONFIG["lr_head"],
+                 momentum=CONFIG["momentum"], seed=CONFIG["seed"],
+                 val_heldout=0.0)
+    (xtr, ytr), (xte, yte) = train_np, test_np
+    train = ArrayLoader(xtr, ytr.astype(np.int32), cfg.batch_size,
+                        shuffle=True, seed=cfg.seed, drop_last=True)
+    test = ArrayLoader(xte, yte.astype(np.int32), cfg.batch_size)
+
+    model, input_shape, _ = create_backbone(
+        "mlp_mnist", num_classes=10, width=100, depth=2)
+    nd = len(train) * cfg.batch_size
+    target, theta_init, net_state = make_flat_target(
+        model, (784,), nd_size=nd, num_classes=10,
+        rng=jax.random.PRNGKey(cfg.seed))
+    runner = get_runner_cls(method)(target, theta_init, net_state, cfg,
+                                    workdir=workdir)
+    results = runner.train(train, None, test)
+    return {"nll": results["nll"], "err": results["test_err"],
+            "ece": results["ece"]}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--methods", type=str, default="vanilla,sgld,vi")
+    args = p.parse_args()
+    methods = args.methods.split(",")
+
+    train_np, test_np = make_data()
+    rows = []
+    for m in methods:
+        with tempfile.TemporaryDirectory() as wd_ref, \
+                tempfile.TemporaryDirectory() as wd_ours:
+            print(f"=== {m}: reference (torch) ...", flush=True)
+            ref = run_reference(m, train_np, test_np, wd_ref)
+            print(f"    reference: {ref}", flush=True)
+            print(f"=== {m}: bayesdll_tpu ...", flush=True)
+            ours = run_ours(m, train_np, test_np, wd_ours)
+            print(f"    ours:      {ours}", flush=True)
+        rows.append((m, ref, ours))
+
+    lines = [
+        "# PARITY — bayesdll_tpu vs reference (same synthetic task)",
+        "",
+        "Protocol: identical data (class-prototype gaussian task, 4096 train /"
+        " 1024 test), matched configs (MLP 784-2x100-10, "
+        f"ep{CONFIG['epochs']} bs{CONFIG['batch_size']} lr{CONFIG['lr']}); "
+        "reference ran via its own Runner code at /root/reference on torch "
+        "CPU. Metrics are posterior-predictive test NLL / error / ECE "
+        "(reference `calibration.py:242-249`). Agreement bar: within "
+        "Monte-Carlo error of the stochastic samplers (BASELINE.md).",
+        "",
+        "| method | NLL ref | NLL ours | err ref | err ours | ECE ref | ECE ours |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for m, ref, ours in rows:
+        lines.append(
+            f"| {m} | {ref['nll']:.4f} | {ours['nll']:.4f} "
+            f"| {ref['err']:.4f} | {ours['err']:.4f} "
+            f"| {ref['ece']:.4f} | {ours['ece']:.4f} |")
+    out = "\n".join(lines) + "\n"
+    with open(os.path.join(REPO, "PARITY.md"), "w") as f:
+        f.write(out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
