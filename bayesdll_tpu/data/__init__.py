@@ -59,6 +59,8 @@ def prepare(cfg):
     elif cfg.dataset in ("cifar10", "cifar100"):
         (xtr, ytr), (xte, yte) = cifar_data.load(cfg.data_root, cfg.dataset)
         num_classes = 10 if cfg.dataset == "cifar10" else 100
+    elif cfg.dataset in ("pets", "imagenet"):
+        return _prepare_image_folder(cfg)
     else:
         raise NotImplementedError(
             f"dataset '{cfg.dataset}' (reference supports mnist/pets/imagenet/"
@@ -67,10 +69,48 @@ def prepare(cfg):
     cfg.num_classes = num_classes
     (xtr, ytr), val = _split_train_val(xtr, ytr, cfg.val_heldout, seed)
 
+    augment = None
+    if cfg.dataset in ("cifar10", "cifar100"):
+        # reference CIFAR train aug: RandomCrop(32, pad 4) + hflip
+        from bayesdll_tpu.data.vision_transforms import cifar_train_augment
+        augment = cifar_train_augment
+
     train_loader = ArrayLoader(xtr, ytr, cfg.batch_size, shuffle=True,
-                               seed=seed, drop_last=True)
+                               seed=seed, drop_last=True, augment_fn=augment)
     val_loader = (ArrayLoader(val[0], val[1], cfg.batch_size, shuffle=False)
                   if val is not None else None)
     test_loader = ArrayLoader(xte, yte, cfg.batch_size, shuffle=False)
     nd = len(xtr)
     return train_loader, val_loader, test_loader, nd
+
+
+def _prepare_image_folder(cfg):
+    """Pets / ImageNet: file-backed loaders with train-time augmentation
+    (reference `datasets.py:58-171`).  The official trainval split is
+    re-split into (train, val) by a seeded permutation, with val served
+    through eval transforms (reference `datasets.py:81-96`)."""
+    from bayesdll_tpu.data.image_loader import ImageFileLoader
+
+    if cfg.dataset == "pets":
+        from bayesdll_tpu.data import pets as ds
+    else:
+        from bayesdll_tpu.data import imagenet as ds
+    (tv_paths, tv_labels), (te_paths, te_labels) = ds.load_splits(cfg.data_root)
+    cfg.num_classes = ds.NUM_CLASSES
+
+    tv_paths = np.asarray(tv_paths)
+    tv_labels = np.asarray(tv_labels, np.int32)
+    n = len(tv_paths)
+    rng = np.random.RandomState(cfg.seed)
+    perm = rng.permutation(n)
+    n_val = int(n * cfg.val_heldout)
+    val_idx, tr_idx = perm[:n_val], perm[n_val:]
+
+    train_loader = ImageFileLoader(tv_paths[tr_idx], tv_labels[tr_idx],
+                                   cfg.batch_size, train=True, seed=cfg.seed)
+    val_loader = ImageFileLoader(tv_paths[val_idx], tv_labels[val_idx],
+                                 cfg.batch_size, train=False) \
+        if n_val > 0 else None
+    test_loader = ImageFileLoader(te_paths, te_labels, cfg.batch_size,
+                                  train=False)
+    return train_loader, val_loader, test_loader, len(tr_idx)

@@ -15,7 +15,7 @@ import numpy as np
 
 class ArrayLoader:
     def __init__(self, x, y, batch_size: int, shuffle: bool = False,
-                 seed: int = 0, drop_last: bool = False):
+                 seed: int = 0, drop_last: bool = False, augment_fn=None):
         assert len(x) == len(y)
         self.x = np.asarray(x)
         self.y = np.asarray(y, dtype=np.int32)
@@ -24,6 +24,7 @@ class ArrayLoader:
         self.drop_last = drop_last
         self._rng = np.random.RandomState(seed)
         self.n = len(x)
+        self.augment_fn = augment_fn  # (batch_x, rng) -> batch_x
 
     def __len__(self):
         if self.drop_last:
@@ -43,6 +44,8 @@ class ArrayLoader:
         for b in range(nb):
             sel = idx[b * bs:(b + 1) * bs]
             xb, yb = self.x[sel], self.y[sel]
+            if self.augment_fn is not None:
+                xb = self.augment_fn(xb, self._rng)
             if len(sel) < bs:  # pad final eval batch to static shape
                 pad = bs - len(sel)
                 xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
