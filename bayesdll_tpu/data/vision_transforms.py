@@ -74,7 +74,16 @@ def train_transform(img: Image.Image, rng: np.random.RandomState,
     return _to_float(np.asarray(img, np.uint8))
 
 
-def eval_transform(img: Image.Image, size: int = 224) -> np.ndarray:
+def eval_transform(img: Image.Image, size: int = 224,
+                   use_native: bool = True) -> np.ndarray:
+    if use_native:
+        from bayesdll_tpu import native
+        if native.available():
+            out = native.eval_preprocess(
+                np.asarray(img, np.uint8), IMAGENET_MEAN, IMAGENET_STD,
+                size=size, resize_to=int(size * 256 / 224))
+            if out is not None:
+                return out
     img = center_crop(resize_short(img, int(size * 256 / 224)), size)
     return _to_float(np.asarray(img, np.uint8))
 
