@@ -56,6 +56,15 @@ def parse_args(argv=None):
                         "(TPU-native; no reference equivalent)")
     p.add_argument("--data_parallel", type=int, default=1,
                    help="within-chain batch sharding over the 'data' axis")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint path to resume training from")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler device trace here")
+    p.add_argument("--fused_steps", action="store_true",
+                   help="scan whole epochs into one XLA dispatch")
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--wandb_project", type=str, default="bayesdll-tpu")
+    p.add_argument("--wandb_name", type=str, default=None)
     return p.parse_args(argv)
 
 
@@ -117,7 +126,7 @@ def main(argv=None):
         batch_size=args.batch_size, lr=args.lr, lr_head=args.lr_head,
         momentum=args.momentum, seed=args.seed, log_dir=args.log_dir,
         test_eval_freq=args.test_eval_freq, data_root=args.data_root,
-        num_chains=args.num_chains,
+        num_chains=args.num_chains, fused_steps=args.fused_steps,
     )
 
     np.random.seed(cfg.seed)
@@ -134,10 +143,28 @@ def main(argv=None):
         logger.addHandler(h)
     logger.info("Args: %s", vars(args))
 
+    from bayesdll_tpu.utils import profiling, wandb_compat
+
+    if args.use_wandb:
+        wandb_compat.init(project=args.wandb_project,
+                          name=args.wandb_name or cfg.run_name(),
+                          config=vars(args))
+
     runner, loaders = build_all(cfg, logger)
-    results = runner.train(*loaders)
-    logger.info("Final results: %s", results)
-    return results
+
+    start_epoch = 0
+    if args.resume is not None:
+        start_epoch = runner.load_ckpt(args.resume) + 1
+        logger.info("Resumed from %s at epoch %d", args.resume, start_epoch)
+
+    try:
+        with profiling.trace(args.profile_dir):
+            results = runner.train(*loaders, start_epoch=start_epoch)
+        logger.info("Final results: %s", results)
+        wandb_compat.summary(results)
+        return results
+    finally:
+        wandb_compat.finish()
 
 
 if __name__ == "__main__":

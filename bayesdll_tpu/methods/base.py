@@ -194,7 +194,11 @@ class BaseRunner:
 
     # ---- shared skeleton ----------------------------------------------------
 
-    def train(self, train_loader, val_loader, test_loader):
+    def train(self, train_loader, val_loader, test_loader, start_epoch=0):
+        """Epoch loop with eval cadence + best-ckpt artifacts (reference
+        `methods/sgld.py:69-190`).  start_epoch > 0 resumes from a loaded
+        checkpoint — a workflow the reference exposes but never wires up
+        (SURVEY.md §5.4)."""
         cfg, logger = self.cfg, self.logger
         logger.info("Start training...")
 
@@ -203,7 +207,7 @@ class BaseRunner:
         best_loss = np.inf
         tic0 = time.time()
 
-        for ep in range(cfg.epochs):
+        for ep in range(start_epoch, cfg.epochs):
             self.epoch_begin(ep)
             tic = time.time()
             losses_train[ep], errors_train[ep] = self.train_one_epoch(ep, train_loader)

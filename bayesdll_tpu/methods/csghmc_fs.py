@@ -48,8 +48,9 @@ class Runner(csghmc.Runner):
                 self.logger.info("Full snapshot saved at %s", path)
         return out
 
-    def train(self, train_loader, val_loader, test_loader):
-        results = super().train(train_loader, val_loader, test_loader)
+    def train(self, train_loader, val_loader, test_loader, start_epoch=0):
+        results = super().train(train_loader, val_loader, test_loader,
+                                start_epoch=start_epoch)
         if self.full_samples:
             bma = self.evaluate_full_samples(train_loader, val_loader,
                                              test_loader)

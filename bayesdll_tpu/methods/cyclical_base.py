@@ -77,10 +77,11 @@ class CyclicalRunnerBase(base.BaseRunner):
                 proportion_exploration=self.cfg.proportion_exploration,
             )
 
-    def train(self, train_loader, val_loader, test_loader):
+    def train(self, train_loader, val_loader, test_loader, start_epoch=0):
         self._ensure_sched(len(train_loader))
         self._loaders = (train_loader, val_loader, test_loader)
-        return super().train(train_loader, val_loader, test_loader)
+        return super().train(train_loader, val_loader, test_loader,
+                             start_epoch=start_epoch)
 
     def step_scalars(self, ep: int) -> dict:
         s = self.sched

@@ -99,13 +99,13 @@ class Runner(base.BaseRunner):
 
     # ---- two-stage train orchestration -------------------------------------
 
-    def train(self, train_loader, val_loader, test_loader):
+    def train(self, train_loader, val_loader, test_loader, start_epoch=0):
         cfg, logger = self.cfg, self.logger
         logger.info("Start training (stage 1: MAP)...")
 
         best_loss, best_theta = np.inf, None
         tic0 = time.time()
-        for ep in range(cfg.epochs):
+        for ep in range(start_epoch, cfg.epochs):
             tic = time.time()
             loss, err = self.train_one_epoch(ep, train_loader)
             logger.info(
