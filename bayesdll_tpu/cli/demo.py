@@ -109,6 +109,16 @@ def build_all(cfg, logger):
     workdir = os.path.join(cfg.log_dir, cfg.run_name())
     runner = runner_cls(target, theta_init, net_state, cfg, logger=logger,
                         workdir=workdir)
+
+    if cfg.num_chains > 1:
+        # chain-parallel training over a ('chain','data') mesh — new TPU
+        # capability (BASELINE.md config 5; no reference analog)
+        from bayesdll_tpu.parallel import make_mesh
+        from bayesdll_tpu.parallel.runner import MultiChainRunner
+        data_parallel = (cfg.mesh_shape or {}).get("data", 1)
+        mesh = make_mesh(cfg.num_chains, data_parallel)
+        runner = MultiChainRunner(runner, mesh, logger=logger,
+                                  workdir=workdir)
     return runner, (train, val, test)
 
 
@@ -127,6 +137,7 @@ def main(argv=None):
         momentum=args.momentum, seed=args.seed, log_dir=args.log_dir,
         test_eval_freq=args.test_eval_freq, data_root=args.data_root,
         num_chains=args.num_chains, fused_steps=args.fused_steps,
+        mesh_shape={"chain": args.num_chains, "data": args.data_parallel},
     )
 
     np.random.seed(cfg.seed)

@@ -96,11 +96,22 @@ class MultiChainTrainer:
         self.bi += 1
         return loss_c, err_c
 
+    def _epoch_begin_chains(self, ep: int):
+        """Per-chain analog of Runner.epoch_begin: at burn-in end, seed each
+        chain's moment accumulators from its own current iterate
+        (reference `methods/sgld.py:95-103`, vmapped over chains)."""
+        burnin = getattr(self.runner, "burnin", None)
+        if burnin is not None and ep == burnin:
+            moments_cls = type(self.states.moments)
+            if hasattr(moments_cls, "init_from"):
+                self.states = self.states.replace(
+                    moments=jax.vmap(moments_cls.init_from)(self.states.theta))
+
     def train_epochs(self, train_loader, epochs: int):
         """Host loop: each chain gets its own reshuffled pass over the data
         (the loader is iterated n_chain times per epoch with offset seeds)."""
         for ep in range(epochs):
-            self.runner.epoch_begin(ep)
+            self._epoch_begin_chains(ep)
             losses = []
             batches = [list(train_loader) for _ in range(self.n_chain)]
             for bi in range(len(batches[0])):
@@ -110,6 +121,10 @@ class MultiChainTrainer:
                 self.runner.bi = self.bi  # keep thinning bookkeeping aligned
                 loss_c, _ = self.step(x, y, scalars)
                 losses.append(loss_c)
+            # fence before yielding: the caller may launch a different
+            # collective-bearing program (eval), and overlapping in-flight
+            # collectives deadlock XLA:CPU's rendezvous
+            jax.block_until_ready(self.states)
             yield ep, float(jnp.mean(jnp.stack(losses)))
 
     # ---- combined predictive ------------------------------------------------
