@@ -81,7 +81,7 @@ def build_all(cfg, logger):
                 cfg.dataset, nd, cfg.num_classes)
 
     model, input_shape, meta = create_backbone(
-        cfg.backbone, num_classes=cfg.num_classes)
+        cfg.backbone, num_classes=cfg.num_classes, dtype=cfg.compute_dtype)
 
     theta0_params = None
     if cfg.pretrained is not None:

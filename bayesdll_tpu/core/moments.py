@@ -59,6 +59,23 @@ class RunningMoments(flax.struct.PyTreeNode):
         mom2 = (theta * theta + cnt * self.mom2) / (cnt + 1.0)
         return RunningMoments(mom1=mom1, mom2=mom2, cnt=self.cnt + 1)
 
+    def update_masked(self, theta: jnp.ndarray, collect) -> "RunningMoments":
+        """update() iff `collect` (traced bool), as pure arithmetic.
+
+        Equivalent to lax.cond but fusable: XLA folds the masked update into
+        the surrounding sampler-update elementwise pass instead of emitting
+        a separate conditional program, saving a full HBM round-trip of the
+        moment vectors on non-collection steps.
+          mom1' = mom1 + c * (theta   - mom1) / (cnt + 1)
+        is algebraically (theta + cnt*mom1)/(cnt+1) when c = 1.
+        """
+        c = jnp.asarray(collect, jnp.float32)
+        cnt = self.cnt.astype(jnp.float32)
+        mom1 = self.mom1 + c * (theta - self.mom1) / (cnt + 1.0)
+        mom2 = self.mom2 + c * (theta * theta - self.mom2) / (cnt + 1.0)
+        return RunningMoments(mom1=mom1, mom2=mom2,
+                              cnt=self.cnt + jnp.asarray(collect, jnp.int32))
+
     def mean_var(self):
         """Unbiased Gaussian-approx (mean, var) of the collected samples."""
         cntf = self.cnt.astype(jnp.float32)
@@ -89,6 +106,18 @@ class WelfordMoments(flax.struct.PyTreeNode):
         mean = self.mean + delta / n.astype(jnp.float32)
         delta2 = theta - mean
         m2 = self.m2 + delta * delta2
+        return WelfordMoments(mean=mean, m2=m2, n=n)
+
+    def update_masked(self, theta: jnp.ndarray, collect) -> "WelfordMoments":
+        """update() iff `collect` (traced bool) — fusable arithmetic form
+        (see RunningMoments.update_masked)."""
+        c = jnp.asarray(collect, jnp.float32)
+        n = self.n + jnp.asarray(collect, jnp.int32)
+        nf = jnp.maximum(n.astype(jnp.float32), 1.0)
+        delta = theta - self.mean
+        mean = self.mean + c * delta / nf
+        delta2 = theta - mean
+        m2 = self.m2 + c * delta * delta2
         return WelfordMoments(mean=mean, m2=m2, n=n)
 
     def mean_var(self):

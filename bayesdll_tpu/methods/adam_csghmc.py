@@ -117,8 +117,8 @@ class Runner(CyclicalRunnerBase):
 
         moments = jax.lax.cond(
             scalars["collect"],
-            lambda mm: mm.update(theta),
-            lambda mm: mm,
+            lambda m: m.update(theta),
+            lambda m: m,
             state.moments,
         )
         return (

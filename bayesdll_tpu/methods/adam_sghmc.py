@@ -112,8 +112,8 @@ class Runner(base.BaseRunner):
 
         moments = jax.lax.cond(
             scalars["collect"],
-            lambda mm: mm.update(theta),
-            lambda mm: mm,
+            lambda m: m.update(theta),
+            lambda m: m,
             state.moments,
         )
         return (

@@ -35,13 +35,14 @@ def _mlp_mnist(num_classes: int = 10, **kw):
     # Reference: MLP(input_dim=784, output_dim=10, width=1000, depth=3)
     # (reference `networks/__init__.py:15-20`).
     model = MLP(num_classes=num_classes, width=kw.get("width", 1000),
-                depth=kw.get("depth", 3), activation=kw.get("activation", "relu"))
+                depth=kw.get("depth", 3), activation=kw.get("activation", "relu"),
+                dtype=kw.get("dtype", "float32"))
     return model, (784,), {"has_batch_stats": False, "has_dropout": False}
 
 
 @register("cnn_mnist")
 def _cnn_mnist(num_classes: int = 10, **kw):
-    model = SmallCNN(num_classes=num_classes)
+    model = SmallCNN(num_classes=num_classes, dtype=kw.get("dtype", "float32"))
     return model, (28, 28, 1), {"has_batch_stats": False, "has_dropout": False}
 
 

@@ -18,26 +18,29 @@ import jax.numpy as jnp
 class SmallCNN(nn.Module):
     num_classes: int = 10
     channels: int = 32
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if x.ndim == 3:
             x = x[..., None]
-        x = x.astype(jnp.float32)
+        dt = jnp.dtype(self.dtype)
+        x = x.astype(dt)
         c = self.channels
-        x = nn.Conv(c, (3, 3), padding="SAME", name="conv_0")(x)
+        x = nn.Conv(c, (3, 3), padding="SAME", name="conv_0", dtype=dt)(x)
         x = nn.relu(x)
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        x = nn.Conv(2 * c, (3, 3), padding="SAME", name="conv_1")(x)
+        x = nn.Conv(2 * c, (3, 3), padding="SAME", name="conv_1", dtype=dt)(x)
         x = nn.relu(x)
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         x = x.reshape((x.shape[0], -1))
-        x = nn.Dense(256, name="dense_0")(x)
+        x = nn.Dense(256, name="dense_0", dtype=dt)(x)
         x = nn.relu(x)
         x = nn.Dense(
             self.num_classes,
             name="head",
+            dtype=dt,
             kernel_init=nn.initializers.he_normal(),
             bias_init=nn.initializers.zeros_init(),
         )(x)
-        return x
+        return x.astype(jnp.float32)

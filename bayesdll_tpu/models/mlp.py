@@ -19,18 +19,21 @@ class MLP(nn.Module):
     width: int = 1000
     depth: int = 3
     activation: str = "relu"
+    dtype: str = "float32"  # compute dtype; params stay fp32 (flax mixed precision)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = x.reshape((x.shape[0], -1)).astype(jnp.float32)
+        dt = jnp.dtype(self.dtype)
+        x = x.reshape((x.shape[0], -1)).astype(dt)
         act = nn.tanh if self.activation == "tanh" else nn.relu
         for i in range(self.depth):
-            x = nn.Dense(self.width, name=f"layers_{i}")(x)
+            x = nn.Dense(self.width, name=f"layers_{i}", dtype=dt)(x)
             x = act(x)
         x = nn.Dense(
             self.num_classes,
             name="head",
+            dtype=dt,
             kernel_init=nn.initializers.he_normal(),
             bias_init=nn.initializers.zeros_init(),
         )(x)
-        return x
+        return x.astype(jnp.float32)

@@ -29,29 +29,32 @@ class Bottleneck(nn.Module):
     width: int
     stride: int = 1
     downsample: bool = False
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = jnp.dtype(self.dtype)
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name=name)
+            name=name, dtype=dt)
+        conv = lambda ch, k, s, name: nn.Conv(
+            ch, k, strides=s, padding=[(k[0] // 2,) * 2, (k[1] // 2,) * 2],
+            use_bias=False, name=name, dtype=dt)
         out_ch = self.width * 4
 
         identity = x
-        y = nn.Conv(self.width, (1, 1), use_bias=False, name="conv1")(x)
+        y = conv(self.width, (1, 1), (1, 1), "conv1")(x)
         y = bn("bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
-                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
+        y = conv(self.width, (3, 3), (self.stride, self.stride), "conv2")(y)
         y = bn("bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
+        y = conv(out_ch, (1, 1), (1, 1), "conv3")(y)
         y = bn("bn3")(y)
 
         if self.downsample:
-            identity = nn.Conv(out_ch, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
+            identity = conv(out_ch, (1, 1), (self.stride, self.stride),
+                            "downsample_conv")(x)
             identity = bn("downsample_bn")(identity)
         return nn.relu(y + identity)
 
@@ -59,16 +62,18 @@ class Bottleneck(nn.Module):
 class ResNet(nn.Module):
     stage_sizes: Sequence[int]
     num_classes: int = 1000
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if x.ndim == 3:
             x = x[..., None]
-        x = x.astype(jnp.float32)
+        dt = jnp.dtype(self.dtype)
+        x = x.astype(dt)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, name="conv1", dtype=dt)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(x)
+                         epsilon=1e-5, name="bn1", dtype=dt)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -78,26 +83,29 @@ class ResNet(nn.Module):
                 stride = 2 if (li > 0 and bi == 0) else 1
                 # first block of every stage changes channels -> downsample
                 x = Bottleneck(width=w, stride=stride, downsample=(bi == 0),
+                               dtype=self.dtype,
                                name=f"layer{li + 1}_{bi}")(x, train=train)
 
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         # head init: He-normal kernel / zero bias
         # (reference `networks/__init__.py:31-35`)
-        x = nn.Dense(self.num_classes, name="head",
+        x = nn.Dense(self.num_classes, name="head", dtype=jnp.dtype(self.dtype),
                      kernel_init=nn.initializers.he_normal(),
                      bias_init=nn.initializers.zeros_init())(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 @register("resnet101")
 def _resnet101(num_classes: int = 1000, **kw):
-    model = ResNet(stage_sizes=(3, 4, 23, 3), num_classes=num_classes)
+    model = ResNet(stage_sizes=(3, 4, 23, 3), num_classes=num_classes,
+                   dtype=kw.get("dtype", "float32"))
     return model, (224, 224, 3), {"has_batch_stats": True,
                                   "has_dropout": False}
 
 
 @register("resnet50")
 def _resnet50(num_classes: int = 1000, **kw):
-    model = ResNet(stage_sizes=(3, 4, 6, 3), num_classes=num_classes)
+    model = ResNet(stage_sizes=(3, 4, 6, 3), num_classes=num_classes,
+                   dtype=kw.get("dtype", "float32"))
     return model, (224, 224, 3), {"has_batch_stats": True,
                                   "has_dropout": False}

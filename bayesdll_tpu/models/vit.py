@@ -28,13 +28,15 @@ class MHSA(nn.Module):
 
     dim: int
     heads: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
+        dt = jnp.dtype(self.dtype)
         b, t, d = x.shape
         h = self.heads
         hd = d // h
-        qkv = nn.Dense(3 * d, name="qkv")(x)  # = torch in_proj (packed)
+        qkv = nn.Dense(3 * d, name="qkv", dtype=dt)(x)  # = torch in_proj (packed)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split_heads(a):
@@ -46,23 +48,26 @@ class MHSA(nn.Module):
         att = nn.softmax(att, axis=-1)
         y = jnp.einsum("bhqk,bhkd->bhqd", att, v,
                        preferred_element_type=jnp.float32)
-        y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
-        return nn.Dense(d, name="out")(y)
+        y = y.transpose(0, 2, 1, 3).reshape(b, t, d).astype(dt)
+        return nn.Dense(d, name="out", dtype=dt)(y)
 
 
 class EncoderBlock(nn.Module):
     dim: int
     heads: int
     mlp_dim: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(epsilon=1e-6, name="ln_1")(x)
-        x = x + MHSA(self.dim, self.heads, name="attention")(y)
-        y = nn.LayerNorm(epsilon=1e-6, name="ln_2")(x)
-        y = nn.Dense(self.mlp_dim, name="mlp_dense_0")(y)
+        dt = jnp.dtype(self.dtype)
+        y = nn.LayerNorm(epsilon=1e-6, name="ln_1", dtype=dt)(x)
+        x = x + MHSA(self.dim, self.heads, dtype=self.dtype,
+                     name="attention")(y)
+        y = nn.LayerNorm(epsilon=1e-6, name="ln_2", dtype=dt)(x)
+        y = nn.Dense(self.mlp_dim, name="mlp_dense_0", dtype=dt)(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, name="mlp_dense_1")(y)
+        y = nn.Dense(self.dim, name="mlp_dense_1", dtype=dt)(y)
         return x + y
 
 
@@ -74,40 +79,44 @@ class ViT(nn.Module):
     mlp_dim: int = 4096
     image_size: int = 224
     num_classes: int = 1000
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = x.astype(jnp.float32)
+        dt = jnp.dtype(self.dtype)
+        x = x.astype(dt)
         b = x.shape[0]
         x = nn.Conv(self.dim, (self.patch, self.patch),
                     strides=(self.patch, self.patch), padding="VALID",
-                    name="conv_proj")(x)
+                    name="conv_proj", dtype=dt)(x)
         x = x.reshape(b, -1, self.dim)  # [B, T, D]
         t = x.shape[1]
 
         cls = self.param("class_token", nn.initializers.zeros,
-                         (1, 1, self.dim))
+                         (1, 1, self.dim)).astype(dt)
         x = jnp.concatenate([jnp.tile(cls, (b, 1, 1)), x], axis=1)
         pos = self.param("pos_embedding",
                          nn.initializers.normal(stddev=0.02),
-                         (1, t + 1, self.dim))
+                         (1, t + 1, self.dim)).astype(dt)
         x = x + pos
 
         for i in range(self.depth):
             x = EncoderBlock(self.dim, self.heads, self.mlp_dim,
+                             dtype=self.dtype,
                              name=f"encoder_layer_{i}")(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="ln")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="ln", dtype=dt)(x)
         x = x[:, 0]  # class token
-        x = nn.Dense(self.num_classes, name="head",
+        x = nn.Dense(self.num_classes, name="head", dtype=dt,
                      kernel_init=nn.initializers.he_normal(),
                      bias_init=nn.initializers.zeros_init())(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 @register("vit_l_32")
 def _vit_l_32(num_classes: int = 1000, **kw):
     model = ViT(patch=32, dim=1024, depth=24, heads=16, mlp_dim=4096,
-                image_size=224, num_classes=num_classes)
+                image_size=224, num_classes=num_classes,
+                dtype=kw.get("dtype", "float32"))
     return model, (224, 224, 3), {"has_batch_stats": False,
                                   "has_dropout": False}
 
@@ -115,6 +124,7 @@ def _vit_l_32(num_classes: int = 1000, **kw):
 @register("vit_b_16")
 def _vit_b_16(num_classes: int = 1000, **kw):
     model = ViT(patch=16, dim=768, depth=12, heads=12, mlp_dim=3072,
-                image_size=224, num_classes=num_classes)
+                image_size=224, num_classes=num_classes,
+                dtype=kw.get("dtype", "float32"))
     return model, (224, 224, 3), {"has_batch_stats": False,
                                   "has_dropout": False}

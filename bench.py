@@ -36,7 +36,8 @@ def main():
         dataset="synthetic", backbone="mlp_mnist",
         epochs=4, batch_size=bs, lr=1e-2, seed=0, num_cycles=2,
     )
-    model, input_shape, _ = create_backbone(cfg.backbone, num_classes=10)
+    model, input_shape, _ = create_backbone(cfg.backbone, num_classes=10,
+                                            dtype="bfloat16")
     target, theta_init, net_state = make_flat_target(
         model, input_shape, nd_size=54000, num_classes=10,
         rng=jax.random.PRNGKey(0))
