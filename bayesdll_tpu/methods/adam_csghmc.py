@@ -85,16 +85,17 @@ class Runner(CyclicalRunnerBase):
         self.logger.info(
             "All optimizer states (momentum, m, v, t) reset for new cycle.")
 
-    def _step(self, state, x, y, key, scalars):
+    def _step(self, state, ns, x, y, key, scalars):
         tg = self.target
         n_eff = float(tg.nd_size) * self.ninflate
         lr_vec = self.cyclical_lr_vec(scalars["lr"])
 
         def loss_fn(theta):
-            logits, _ = tg.forward(theta, self.net_state, x, train=True)
-            return base.ce_loss(logits, y), logits
+            logits, new_ns = tg.forward(theta, ns, x, train=True)
+            return base.ce_loss(logits, y), (logits, new_ns)
 
-        (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(state.theta)
+        (loss, (logits, new_ns)), g = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state.theta)
 
         eps_noise = jax.random.normal(key, g.shape, g.dtype)
         mask = tg.prior_mask(self.bias_mode)
@@ -125,5 +126,6 @@ class Runner(CyclicalRunnerBase):
             AdamCSGHMCState(theta=theta, buf=buf, v_mom=v_mom, m=m_new,
                             v2=v2_new, t=t_new, moments=moments,
                             step=state.step + 1),
+            new_ns,
             (loss, base.err_count(logits, y)),
         )

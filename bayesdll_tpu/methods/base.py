@@ -104,7 +104,11 @@ class BaseRunner:
 
         self.state = self.init_state(jnp.asarray(theta_init, jnp.float32))
         self.bi = 0  # global batch iteration counter (reference `sgld.py:86`)
-        self._jit_step = jax.jit(self._step, donate_argnums=0)
+        # the step carries (sampler state, net_state): net_state holds
+        # mutable model collections (BatchNorm batch_stats), threaded through
+        # training so running stats update like the reference's workhorse
+        # net in train mode (SURVEY.md §7 'BatchNorm under sampled weights')
+        self._jit_step = jax.jit(self._step, donate_argnums=(0, 1))
         self._jit_predict = jax.jit(self._predict_logits)
         self._jit_scan_step = None  # built lazily (fused multi-step path)
 
@@ -115,7 +119,9 @@ class BaseRunner:
     def init_state(self, theta_init):
         raise NotImplementedError
 
-    def _step(self, state, x, y, key, scalars):
+    def _step(self, state, ns, x, y, key, scalars):
+        """(state, net_state, batch, key, scalars) ->
+        (state', net_state', (loss, err_count))."""
         raise NotImplementedError
 
     def pred_state(self):
@@ -174,21 +180,25 @@ class BaseRunner:
             self._jit_scan_step = {}
         cache_key = self._fused_key(ep)
         if cache_key not in self._jit_scan_step:
-            def scan_fn(state, xs, ys, bi0, _ep=ep):
-                def body(st, inp):
+            def scan_fn(state, ns, xs, ys, bi0, _ep=ep):
+                def body(carry, inp):
+                    st, n = carry
                     x, y, i = inp
                     key = jax.random.fold_in(self.train_key, bi0 + i)
                     sc = self.device_scalars(_ep, bi0 + i)
-                    st, metrics = self._step(st, x, y, key, sc)
-                    return st, metrics
+                    st, n, metrics = self._step(st, n, x, y, key, sc)
+                    return (st, n), metrics
 
                 idx = jnp.arange(xs.shape[0], dtype=jnp.int32)
-                return jax.lax.scan(body, state, (xs, ys, idx))
+                (state, ns), metrics = jax.lax.scan(
+                    body, (state, ns), (xs, ys, idx))
+                return state, ns, metrics
 
             self._jit_scan_step[cache_key] = jax.jit(
-                scan_fn, donate_argnums=0)
-        self.state, (loss_k, err_k) = self._jit_scan_step[cache_key](
-            self.state, xs, ys, jnp.asarray(bi0, jnp.int32))
+                scan_fn, donate_argnums=(0, 1))
+        self.state, self.net_state, (loss_k, err_k) = \
+            self._jit_scan_step[cache_key](
+                self.state, self.net_state, xs, ys, jnp.asarray(bi0, jnp.int32))
         self.bi = bi0 + int(xs.shape[0])
         return loss_k, err_k
 
@@ -247,8 +257,9 @@ class BaseRunner:
         for x, y, _valid in train_loader:
             key = jax.random.fold_in(self.train_key, self.bi)
             scalars = self.step_scalars(ep)
-            self.state, (loss_, errcnt) = self._jit_step(
-                self.state, jnp.asarray(x), jnp.asarray(y), key, scalars)
+            self.state, self.net_state, (loss_, errcnt) = self._jit_step(
+                self.state, self.net_state, jnp.asarray(x), jnp.asarray(y),
+                key, scalars)
             # device-side metric scalars; host sync deferred to epoch end
             loss_terms.append(loss_)
             err_terms.append(errcnt)

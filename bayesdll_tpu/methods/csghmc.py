@@ -55,16 +55,17 @@ class Runner(CyclicalRunnerBase):
             step=jnp.zeros((), jnp.int32),
         )
 
-    def _step(self, state, x, y, key, scalars):
+    def _step(self, state, ns, x, y, key, scalars):
         t = self.target
         n_eff = float(t.nd_size) * self.ninflate
         lr_vec = self.cyclical_lr_vec(scalars["lr"])
 
         def loss_fn(theta):
-            logits, _ = t.forward(theta, self.net_state, x, train=True)
-            return base.ce_loss(logits, y), logits
+            logits, new_ns = t.forward(theta, ns, x, train=True)
+            return base.ce_loss(logits, y), (logits, new_ns)
 
-        (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(state.theta)
+        (loss, (logits, new_ns)), g = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state.theta)
 
         theta, v = fused.csghmc_update(
             g, state.theta, state.v, key,
@@ -81,5 +82,6 @@ class Runner(CyclicalRunnerBase):
         return (
             CSGHMCState(theta=theta, v=v, moments=moments,
                         step=state.step + 1),
+            new_ns,
             (loss, base.err_count(logits, y)),
         )

@@ -61,16 +61,17 @@ class Runner(base.BaseRunner):
 
     # ---- stage 1: MAP (vanilla-style step with sig/N scaling) --------------
 
-    def _step(self, state, x, y, key, scalars):
+    def _step(self, state, ns, x, y, key, scalars):
         t, cfg = self.target, self.cfg
         n_eff = float(t.nd_size) * self.ninflate
         mask = t.prior_mask(self.bias_mode)
 
         def loss_fn(theta):
-            logits, _ = t.forward(theta, self.net_state, x, train=True)
-            return base.ce_loss(logits, y), logits
+            logits, new_ns = t.forward(theta, ns, x, train=True)
+            return base.ce_loss(logits, y), (logits, new_ns)
 
-        (loss_ce, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(state.theta)
+        (loss_ce, (logits, new_ns)), g = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state.theta)
         dev = state.theta - t.theta0
         g = g + mask * dev / (self.prior_sig ** 2) / n_eff
         lr_vec = t.lr_vec(cfg.lr, cfg.lr_head)
@@ -80,6 +81,7 @@ class Runner(base.BaseRunner):
             / (self.prior_sig ** 2) / n_eff
         return (
             LAState(theta=theta, buf=buf, step=state.step + 1),
+            new_ns,
             (loss, base.err_count(logits, y)),
         )
 

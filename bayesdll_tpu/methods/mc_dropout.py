@@ -77,7 +77,7 @@ class Runner(base.BaseRunner):
         # 'ignore': weights (1-p); biases 0
         return one_minus_p * (1.0 - t.is_bias)
 
-    def _step(self, state, x, y, key, scalars):
+    def _step(self, state, ns, x, y, key, scalars):
         t, cfg = self.target, self.cfg
         nd_size = float(t.nd_size)
         sig2 = self.prior_sig ** 2
@@ -87,10 +87,11 @@ class Runner(base.BaseRunner):
         theta = z * state.m + (1.0 - z) * t.theta0
 
         def loss_fn(th):
-            logits, _ = t.forward(th, self.net_state, x, train=True, rng=kf)
-            return base.ce_loss(logits, y), logits
+            logits, new_ns = t.forward(th, ns, x, train=True, rng=kf)
+            return base.ce_loss(logits, y), (logits, new_ns)
 
-        (loss_nll, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(theta)
+        (loss_nll, (logits, new_ns)), g = \
+            jax.value_and_grad(loss_fn, has_aux=True)(theta)
 
         dev = state.m - t.theta0
         kl_coeff = self._kl_coeff()
@@ -103,6 +104,7 @@ class Runner(base.BaseRunner):
         loss = loss_nll + self.kld * loss_kl / nd_size
         return (
             MCDropState(m=m_new, buf=buf, step=state.step + 1),
+            new_ns,
             (loss, base.err_count(logits, y)),
         )
 

@@ -88,15 +88,16 @@ class Runner(base.BaseRunner):
     def _fused_key(self, ep: int):
         return ep >= self.burnin
 
-    def _step(self, state, x, y, key, scalars):
+    def _step(self, state, ns, x, y, key, scalars):
         t, cfg = self.target, self.cfg
         n_eff = float(t.nd_size) * self.ninflate
 
         def loss_fn(theta):
-            logits, _ = t.forward(theta, self.net_state, x, train=True)
-            return base.ce_loss(logits, y), logits
+            logits, new_ns = t.forward(theta, ns, x, train=True)
+            return base.ce_loss(logits, y), (logits, new_ns)
 
-        (loss, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(state.theta)
+        (loss, (logits, new_ns)), g = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state.theta)
 
         lr_vec = t.lr_vec(cfg.lr, cfg.lr_head)
         g = fused.sgld_update(
@@ -115,6 +116,7 @@ class Runner(base.BaseRunner):
         return (
             SGLDState(theta=theta, buf=buf, moments=moments,
                       step=state.step + 1),
+            new_ns,
             (loss, base.err_count(logits, y)),
         )
 

@@ -40,7 +40,7 @@ class Runner(base.BaseRunner):
             step=jnp.zeros((), jnp.int32),
         )
 
-    def _step(self, state, x, y, key, scalars):
+    def _step(self, state, ns, x, y, key, scalars):
         t = self.target
         cfg = self.cfg
         # 'ignore' drops the L2 pull on bias elements
@@ -49,10 +49,11 @@ class Runner(base.BaseRunner):
             else jnp.ones_like(t.is_bias)
 
         def loss_fn(theta):
-            logits, _ = t.forward(theta, self.net_state, x, train=True)
-            return base.ce_loss(logits, y), logits
+            logits, new_ns = t.forward(theta, ns, x, train=True)
+            return base.ce_loss(logits, y), (logits, new_ns)
 
-        (loss_ce, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(state.theta)
+        (loss_ce, (logits, new_ns)), g = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state.theta)
         dev = state.theta - t.theta0
         loss_l2 = jnp.sum(mask * dev * dev)
         g = g + self.wd * mask * dev
@@ -62,6 +63,7 @@ class Runner(base.BaseRunner):
         loss = loss_ce + 0.5 * self.wd * loss_l2
         return (
             VanillaState(theta=theta, buf=buf, step=state.step + 1),
+            new_ns,
             (loss, base.err_count(logits, y)),
         )
 

@@ -68,7 +68,7 @@ class Runner(base.BaseRunner):
             return 1.0 - t.is_bias
         return jnp.ones_like(t.is_bias)
 
-    def _step(self, state, x, y, key, scalars):
+    def _step(self, state, ns, x, y, key, scalars):
         t, cfg = self.target, self.cfg
         nd_size = float(t.nd_size)
         sig2 = self.prior_sig ** 2
@@ -79,10 +79,11 @@ class Runner(base.BaseRunner):
         theta = state.m + s * eps
 
         def loss_fn(th):
-            logits, _ = t.forward(th, self.net_state, x, train=True)
-            return base.ce_loss(logits, y), logits
+            logits, new_ns = t.forward(th, ns, x, train=True)
+            return base.ce_loss(logits, y), (logits, new_ns)
 
-        (loss_nll, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(theta)
+        (loss_nll, (logits, new_ns)), g = \
+            jax.value_and_grad(loss_fn, has_aux=True)(theta)
 
         dev = state.m - t.theta0
         v = s * s
@@ -103,6 +104,7 @@ class Runner(base.BaseRunner):
         return (
             VIState(m=m_new, s_=s_new, buf_m=buf_m, buf_s=buf_s,
                     step=state.step + 1),
+            new_ns,
             (loss, base.err_count(logits, y)),
         )
 

@@ -63,13 +63,19 @@ class MultiChainTrainer:
 
         states = jax.vmap(chain_init)(keys)
         self.states = jax.device_put(states, chain_sh)
+        # per-chain mutable model collections (BatchNorm batch_stats):
+        # each chain evolves its own running stats
+        self.net_states = jax.device_put(
+            jax.tree.map(lambda l: jnp.stack([l] * self.n_chain),
+                         runner.net_state), chain_sh)
 
-        vstep = jax.vmap(runner._step, in_axes=(0, 0, 0, 0, None))
+        vstep = jax.vmap(runner._step, in_axes=(0, 0, 0, 0, 0, None))
         self._jit_step = jax.jit(
             vstep,
-            in_shardings=(chain_sh, batch_sh, batch_sh, chain_sh, None),
-            out_shardings=(chain_sh, (chain_sh, chain_sh)),
-            donate_argnums=0,
+            in_shardings=(chain_sh, chain_sh, batch_sh, batch_sh, chain_sh,
+                          None),
+            out_shardings=(chain_sh, chain_sh, (chain_sh, chain_sh)),
+            donate_argnums=(0, 1),
         )
         self._batch_sh = batch_sh
         self._chain_keys = jax.random.split(
@@ -91,8 +97,8 @@ class MultiChainTrainer:
             self._chain_keys)
         x = jax.device_put(jnp.asarray(x), self._batch_sh)
         y = jax.device_put(jnp.asarray(y), self._batch_sh)
-        self.states, (loss_c, err_c) = self._jit_step(
-            self.states, x, y, keys, scalars)
+        self.states, self.net_states, (loss_c, err_c) = self._jit_step(
+            self.states, self.net_states, x, y, keys, scalars)
         self.bi += 1
         return loss_c, err_c
 

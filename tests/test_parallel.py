@@ -75,8 +75,8 @@ def test_multi_chain_matches_single_chain_when_deterministic():
     np.testing.assert_allclose(thetas[0], thetas[1], rtol=1e-6, atol=1e-7)
 
     # and the sharded result equals the unsharded single-device step
-    state1, _ = jax.jit(runner._step)(
-        runner.init_state(theta0), jnp.asarray(xb), jnp.asarray(yb),
+    state1, _ns, _ = jax.jit(runner._step)(
+        runner.init_state(theta0), {}, jnp.asarray(xb), jnp.asarray(yb),
         jax.vmap(lambda k: jax.random.fold_in(k, 0))(
             trainer._chain_keys)[0],
         {"collect": False})
