@@ -317,30 +317,78 @@ class BaseRunner:
 
         Returns (loss, err, targets, logits, logits_all) with
         logits_all shaped [N, S, K].
+
+        TPU-native structure: all eval batches run as ONE scanned XLA
+        dispatch (a per-batch loop pays a host sync + dispatch latency per
+        batch — dominant through a remote chip tunnel), with loss/err
+        accumulated on device and synced once.
         """
         ps = self.pred_state()
-        loss_sum, err_sum, n = 0.0, 0.0, 0.0
+        batches = list(loader)
+        per_batch = batches[0][0].nbytes + batches[0][1].nbytes
+        chunk = max(1, self.FUSED_BYTES_BUDGET // per_batch)
+        loss_sum, err_sum = 0.0, 0.0
         targets, logits_list, logits_all_list = [], [], []
-        for i, (x, y, valid) in enumerate(loader):
-            key = jax.random.fold_in(self.eval_key, i)
-            logits_all = self._jit_predict(ps, jnp.asarray(x), key)  # [S,B,K]
-            logits = combine_mc_logits(logits_all)
-            y_j = jnp.asarray(y)
-            v = jnp.asarray(valid)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            picked = jnp.take_along_axis(
-                logp, y_j[:, None].astype(jnp.int32), axis=1)[:, 0]
-            loss_sum += float(jnp.sum(-picked * v))
-            err_sum += float(jnp.sum((jnp.argmax(logits, -1) != y_j) * v))
-            nv = int(valid.sum())
-            n += nv
-            targets.append(np.asarray(y)[:nv])
-            logits_list.append(np.asarray(logits)[:nv])
-            logits_all_list.append(np.asarray(logits_all).transpose(1, 0, 2)[:nv])
-        targets = np.concatenate(targets)
-        logits_np = np.concatenate(logits_list)
-        logits_all_np = np.concatenate(logits_all_list)
-        return loss_sum / n, err_sum / n, targets, logits_np, logits_all_np
+        for s0 in range(0, len(batches), chunk):
+            part = batches[s0:s0 + chunk]
+            xs = jnp.asarray(np.stack([b[0] for b in part]))
+            ys = jnp.asarray(np.stack([b[1] for b in part]))
+            vs = jnp.asarray(np.stack([b[2] for b in part]))
+            logits_nb, logits_all_nb, ls, es = self._eval_scan(ps, xs, ys, vs)
+            loss_sum += float(ls)
+            err_sum += float(es)
+            logits_nb = np.asarray(logits_nb)
+            logits_all_nb = np.asarray(logits_all_nb)
+            for i, (x, y, valid) in enumerate(part):
+                nv = int(valid.sum())
+                targets.append(np.asarray(y)[:nv])
+                logits_list.append(logits_nb[i][:nv])
+                logits_all_list.append(
+                    logits_all_nb[i].transpose(1, 0, 2)[:nv])
+        n = float(np.sum([b[2].sum() for b in batches]))
+        return (loss_sum / n, err_sum / n,
+                np.concatenate(targets), np.concatenate(logits_list),
+                np.concatenate(logits_all_list))
+
+    _jit_eval_scan = None
+
+    def _eval_scan(self, ps, xs, ys, vs):
+        """Scan the MC predictive over stacked eval batches in one dispatch.
+
+        net_state is passed as a jit ARGUMENT (swapped in during tracing):
+        a closure capture would freeze BatchNorm stats at first-eval values.
+        """
+        if self._jit_eval_scan is None:
+            def eval_scan(ps, ns, xs, ys, vs):
+                saved = self.net_state
+                self.net_state = ns
+                try:
+                    return eval_scan_body(ps, xs, ys, vs)
+                finally:
+                    self.net_state = saved
+
+            def eval_scan_body(ps, xs, ys, vs):
+                def body(carry, inp):
+                    x, y, v, i = inp
+                    key = jax.random.fold_in(self.eval_key, i)
+                    la = self._predict_logits(ps, x, key)  # [S,B,K]
+                    logits = combine_mc_logits(la)
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    picked = jnp.take_along_axis(
+                        logp, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+                    loss_s, err_s = carry
+                    loss_s = loss_s + jnp.sum(-picked * v)
+                    err_s = err_s + jnp.sum(
+                        (jnp.argmax(logits, -1) != y).astype(jnp.float32) * v)
+                    return (loss_s, err_s), (logits, la)
+
+                idx = jnp.arange(xs.shape[0], dtype=jnp.int32)
+                (loss_s, err_s), (logits_nb, la_nb) = jax.lax.scan(
+                    body, (jnp.zeros(()), jnp.zeros(())), (xs, ys, vs, idx))
+                return logits_nb, la_nb, loss_s, err_s
+
+            self._jit_eval_scan = jax.jit(eval_scan)
+        return self._jit_eval_scan(ps, self.net_state, xs, ys, vs)
 
     def _eval_and_maybe_save(self, ep, val_loader, test_loader, best_loss):
         cfg, logger = self.cfg, self.logger

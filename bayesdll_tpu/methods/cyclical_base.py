@@ -35,6 +35,11 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 import numpy as np
+from scipy.special import logsumexp as _sp_logsumexp
+
+
+def scipy_logsumexp(a):
+    return _sp_logsumexp(a, axis=-1, keepdims=True)
 
 from bayesdll_tpu.core.schedule import CyclicalSchedule
 from bayesdll_tpu.methods import base
@@ -262,63 +267,110 @@ class CyclicalRunnerBase(base.BaseRunner):
 
         weights = self.gmm_weights()
         comps = [(c, w) for c, w in sorted(weights.items()) if w >= 1e-10]
-        jit_comp = jax.jit(self._component_logits)
 
+        # per-component scanned pass over ALL eval batches (one dispatch per
+        # component instead of per batch x component — a naive loop pays the
+        # host-sync + dispatch latency each time)
+        if getattr(self, "_jit_comp_scan", None) is None:
+            def comp_scan(mean, var, ns, xs, comp_id):
+                saved = self.net_state
+                self.net_state = ns
+                try:
+                    return comp_scan_body(mean, var, xs, comp_id)
+                finally:
+                    self.net_state = saved
+
+            def comp_scan_body(mean, var, xs, comp_id):
+                def body(carry, inp):
+                    x, i = inp
+                    key = jax.random.fold_in(
+                        self.eval_key, i * 1000 + comp_id)
+                    la = self._component_logits(mean, var, x, key)
+                    return carry, la
+                idx = jnp.arange(xs.shape[0], dtype=jnp.int32)
+                _, la_nb = jax.lax.scan(body, None, (xs, idx))
+                return la_nb  # [NB, S, B, K]
+            self._jit_comp_scan = jax.jit(comp_scan)
+
+        batches = list(loader)
+        xs = jnp.asarray(np.stack([b[0] for b in batches]))
+        comp_las = []  # per component: [NB, S, B, K] numpy
+        for c, w in comps:
+            la_nb = self._jit_comp_scan(
+                jnp.asarray(self.cycle_stats[c]["mean"]),
+                jnp.asarray(self.cycle_stats[c]["var"]), self.net_state, xs,
+                jnp.asarray(c, jnp.int32))
+            comp_las.append(np.asarray(la_nb))
+
+        # mixture on host (reference `methods/csgld.py:415-431`): component
+        # output is the MC-averaged log-prob vector (raw logits when nst=0),
+        # mixed as a weighted sum
         loss_sum, err_sum, n = 0.0, 0.0, 0.0
         targets, logits_list, logits_all_list = [], [], []
-        for i, (x, y, valid) in enumerate(loader):
-            x_j, y_j, v = jnp.asarray(x), jnp.asarray(y), jnp.asarray(valid)
+        for i, (x, y, valid) in enumerate(batches):
             mix = None
             comp_stack = []
-            for c, w in comps:
-                key = jax.random.fold_in(self.eval_key, i * 1000 + c)
-                la = jit_comp(self.cycle_stats[c]["mean"],
-                              self.cycle_stats[c]["var"], x_j, key)
+            for (c, w), la_all in zip(comps, comp_las):
+                la = la_all[i]  # [S, B, K]
                 if self.nst == 0:
-                    comp_out = la[0]  # raw logits (reference `csgld.py:420`)
+                    comp_out = la[0]
                 else:
-                    comp_out = base.combine_mc_logits(la)
-                comp_stack.append(np.asarray(la).transpose(1, 0, 2))
+                    comp_out = np.asarray(base.combine_mc_logits(
+                        jnp.asarray(la)))
+                comp_stack.append(la.transpose(1, 0, 2))
                 mix = w * comp_out if mix is None else mix + w * comp_out
-            logp = jax.nn.log_softmax(mix, axis=-1)
-            picked = jnp.take_along_axis(
-                logp, y_j[:, None].astype(jnp.int32), axis=1)[:, 0]
-            loss_sum += float(jnp.sum(-picked * v))
-            err_sum += float(jnp.sum((jnp.argmax(mix, -1) != y_j) * v))
+            logp = mix - scipy_logsumexp(mix)
+            picked = logp[np.arange(len(y)), y]
+            loss_sum += float(np.sum(-picked * valid))
+            err_sum += float(np.sum((np.argmax(mix, -1) != y) * valid))
             nv = int(valid.sum())
             n += nv
             targets.append(np.asarray(y)[:nv])
-            logits_list.append(np.asarray(mix)[:nv])
+            logits_list.append(mix[:nv])
             logits_all_list.append(
                 np.concatenate(comp_stack, axis=1)[:nv])  # [B, C*S, K]
         return (loss_sum / n, err_sum / n, np.concatenate(targets),
                 np.concatenate(logits_list), np.concatenate(logits_all_list))
 
     def _point_evaluate(self, loader):
+        """Point-estimate eval with the current iterate, scanned into one
+        dispatch (reference's evaluate_simple, `methods/csghmc.py:211-244`)."""
         theta = self.state.theta
 
-        @jax.jit
-        def fwd(x):
-            logits, _ = self.target.forward(theta, self.net_state, x,
-                                            train=False)
-            return logits
+        if getattr(self, "_jit_point_scan", None) is None:
+            def point_scan(theta, ns, xs, ys, vs):
+                def body(carry, inp):
+                    x, y, v = inp
+                    logits, _ = self.target.forward(theta, ns, x,
+                                                    train=False)
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    picked = jnp.take_along_axis(
+                        logp, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+                    ls, es = carry
+                    ls = ls + jnp.sum(-picked * v)
+                    es = es + jnp.sum(
+                        (jnp.argmax(logits, -1) != y).astype(jnp.float32) * v)
+                    return (ls, es), logits
+                (ls, es), logits_nb = jax.lax.scan(
+                    body, (jnp.zeros(()), jnp.zeros(())), (xs, ys, vs))
+                return logits_nb, ls, es
+            self._jit_point_scan = jax.jit(point_scan)
 
-        loss_sum, err_sum, n = 0.0, 0.0, 0.0
+        batches = list(loader)
+        xs = jnp.asarray(np.stack([b[0] for b in batches]))
+        ys = jnp.asarray(np.stack([b[1] for b in batches]))
+        vs = jnp.asarray(np.stack([b[2] for b in batches]))
+        logits_nb, ls, es = self._jit_point_scan(theta, self.net_state,
+                                                 xs, ys, vs)
+        logits_nb = np.asarray(logits_nb)
+        n = float(np.sum([b[2].sum() for b in batches]))
         targets, logits_list, logits_all_list = [], [], []
-        for x, y, valid in loader:
-            logits = fwd(jnp.asarray(x))
-            y_j, v = jnp.asarray(y), jnp.asarray(valid)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            picked = jnp.take_along_axis(
-                logp, y_j[:, None].astype(jnp.int32), axis=1)[:, 0]
-            loss_sum += float(jnp.sum(-picked * v))
-            err_sum += float(jnp.sum((jnp.argmax(logits, -1) != y_j) * v))
+        for i, (x, y, valid) in enumerate(batches):
             nv = int(valid.sum())
-            n += nv
             targets.append(np.asarray(y)[:nv])
-            logits_list.append(np.asarray(logits)[:nv])
-            logits_all_list.append(np.asarray(logits)[:nv, None, :])
-        return (loss_sum / n, err_sum / n, np.concatenate(targets),
+            logits_list.append(logits_nb[i][:nv])
+            logits_all_list.append(logits_nb[i][:nv, None, :])
+        return (float(ls) / n, float(es) / n, np.concatenate(targets),
                 np.concatenate(logits_list), np.concatenate(logits_all_list))
 
     def extra_ckpt(self):
