@@ -119,28 +119,31 @@ def vit_params_from_torch(sd: Dict[str, np.ndarray], depth: int, dim: int,
     params["class_token"] = jnp.asarray(sd["class_token"]).reshape(1, 1, dim)
     params["pos_embedding"] = jnp.asarray(sd["encoder.pos_embedding"])
 
-    for i in range(depth):
-        tp = f"encoder.layers.encoder_layer_{i}"
-        params[f"encoder_layer_{i}"] = {
-            "ln_1": {"scale": jnp.asarray(sd[f"{tp}.ln_1.weight"]),
-                     "bias": jnp.asarray(sd[f"{tp}.ln_1.bias"])},
-            "attention": {
-                "qkv": {"kernel": jnp.asarray(
-                            _linear(sd[f"{tp}.self_attention.in_proj_weight"])),
-                        "bias": jnp.asarray(
-                            sd[f"{tp}.self_attention.in_proj_bias"])},
-                "out": {"kernel": jnp.asarray(
-                            _linear(sd[f"{tp}.self_attention.out_proj.weight"])),
-                        "bias": jnp.asarray(
-                            sd[f"{tp}.self_attention.out_proj.bias"])},
-            },
-            "ln_2": {"scale": jnp.asarray(sd[f"{tp}.ln_2.weight"]),
-                     "bias": jnp.asarray(sd[f"{tp}.ln_2.bias"])},
-            "mlp_dense_0": {"kernel": jnp.asarray(_linear(sd[f"{tp}.mlp.0.weight"])),
-                            "bias": jnp.asarray(sd[f"{tp}.mlp.0.bias"])},
-            "mlp_dense_1": {"kernel": jnp.asarray(_linear(sd[f"{tp}.mlp.3.weight"])),
-                            "bias": jnp.asarray(sd[f"{tp}.mlp.3.bias"])},
-        }
+    # the flax encoder is nn.scan over one block, so per-layer tensors STACK
+    # along a leading depth axis (models/vit.py)
+    def stacked(fmt, transform=lambda a: a):
+        return jnp.asarray(np.stack([
+            transform(sd[fmt.format(i=i)]) for i in range(depth)]))
+
+    tp = "encoder.layers.encoder_layer_{i}"
+    params["layers"] = {
+        "ln_1": {"scale": stacked(tp + ".ln_1.weight"),
+                 "bias": stacked(tp + ".ln_1.bias")},
+        "attention": {
+            "qkv": {"kernel": stacked(tp + ".self_attention.in_proj_weight",
+                                      _linear),
+                    "bias": stacked(tp + ".self_attention.in_proj_bias")},
+            "out": {"kernel": stacked(tp + ".self_attention.out_proj.weight",
+                                      _linear),
+                    "bias": stacked(tp + ".self_attention.out_proj.bias")},
+        },
+        "ln_2": {"scale": stacked(tp + ".ln_2.weight"),
+                 "bias": stacked(tp + ".ln_2.bias")},
+        "mlp_dense_0": {"kernel": stacked(tp + ".mlp.0.weight", _linear),
+                        "bias": stacked(tp + ".mlp.0.bias")},
+        "mlp_dense_1": {"kernel": stacked(tp + ".mlp.3.weight", _linear),
+                        "bias": stacked(tp + ".mlp.3.bias")},
+    }
     params["ln"] = {"scale": jnp.asarray(sd["encoder.ln.weight"]),
                     "bias": jnp.asarray(sd["encoder.ln.bias"])}
     if zero_head or "heads.head.weight" not in sd \

@@ -1,17 +1,18 @@
-"""Vision Transformer backbones, torchvision-compatible structure.
+"""Vision Transformer backbones, torchvision-compatible parameters.
 
 TPU-native counterpart of the reference's `torchvision.models.vit_l_32()`
 backbone with its `heads.head` replaced by a task Linear
-(reference `networks/__init__.py:39-54`).  Module tree mirrors torchvision's
-parameter layout (conv_proj / class_token / pos_embedding / encoder layers
-with ln_1, attention {qkv, out}, ln_2, mlp {dense_0, dense_1} / final ln /
-head) so IMAGENET1K_V1 state_dicts convert mechanically
-(`bayesdll_tpu/models/convert.py`).
+(reference `networks/__init__.py:39-54`).
 
-TPU notes: attention is plain einsum MHA — at 50 tokens (224/32 patches + 1
-class token) the matmuls are small; the MXU win comes from batching, so the
-whole encoder runs in a single jit with batch as the leading dim.  bf16
-compute is toggled by the caller via Config.compute_dtype.
+The encoder runs as `nn.scan` over a single EncoderBlock with layer-stacked
+parameters ([depth, ...] leading axis) — the idiomatic JAX form for deep
+transformers: the compiled program contains ONE block body instead of 24
+unrolled copies (an unrolled ViT-L/32 graph is large enough to overflow
+compile-request limits), and rematerialisation composes naturally.
+Parameter layout per layer still mirrors torchvision (ln_1, attention
+{qkv, out} with packed qkv, ln_2, mlp_dense_0/1), so IMAGENET1K_V1
+state_dicts convert by stacking per-layer tensors
+(`bayesdll_tpu/models/convert.py`).
 """
 
 from __future__ import annotations
@@ -36,7 +37,7 @@ class MHSA(nn.Module):
         b, t, d = x.shape
         h = self.heads
         hd = d // h
-        qkv = nn.Dense(3 * d, name="qkv", dtype=dt)(x)  # = torch in_proj (packed)
+        qkv = nn.Dense(3 * d, name="qkv", dtype=dt)(x)  # torch in_proj
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split_heads(a):
@@ -53,13 +54,15 @@ class MHSA(nn.Module):
 
 
 class EncoderBlock(nn.Module):
+    """Pre-LN transformer block in scan form: (carry, _) -> (carry, None)."""
+
     dim: int
     heads: int
     mlp_dim: int
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, _=None):
         dt = jnp.dtype(self.dtype)
         y = nn.LayerNorm(epsilon=1e-6, name="ln_1", dtype=dt)(x)
         x = x + MHSA(self.dim, self.heads, dtype=self.dtype,
@@ -68,7 +71,7 @@ class EncoderBlock(nn.Module):
         y = nn.Dense(self.mlp_dim, name="mlp_dense_0", dtype=dt)(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="mlp_dense_1", dtype=dt)(y)
-        return x + y
+        return x + y, None
 
 
 class ViT(nn.Module):
@@ -100,10 +103,15 @@ class ViT(nn.Module):
                          (1, t + 1, self.dim)).astype(dt)
         x = x + pos
 
-        for i in range(self.depth):
-            x = EncoderBlock(self.dim, self.heads, self.mlp_dim,
-                             dtype=self.dtype,
-                             name=f"encoder_layer_{i}")(x)
+        scanned = nn.scan(
+            EncoderBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.depth,
+        )(dim=self.dim, heads=self.heads, mlp_dim=self.mlp_dim,
+          dtype=self.dtype, name="layers")
+        x, _ = scanned(x, None)
+
         x = nn.LayerNorm(epsilon=1e-6, name="ln", dtype=dt)(x)
         x = x[:, 0]  # class token
         x = nn.Dense(self.num_classes, name="head", dtype=dt,

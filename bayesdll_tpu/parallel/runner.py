@@ -11,6 +11,12 @@ carries `moments`) with:
 
 This is the new TPU capability with no reference analog (the reference is
 single-device, single-chain — SURVEY.md §2.4): BASELINE.md config 5.
+
+Round-1 limitation: for the cyclical methods the multi-chain path runs the
+sampler (with phase-synchronised schedules) and the combined Gaussian
+predictive over in-state moments, but does NOT yet execute the per-cycle
+host machinery (cycle snapshots / GMM weights) per chain — single-chain
+runners provide that.
 """
 
 from __future__ import annotations
