@@ -212,19 +212,38 @@ class CyclicalRunnerBase(base.BaseRunner):
         _, var = state.moments.mean_var()
         n = int(np.asarray(self._moments_count(state)))
         use_noise = self.nst > 0 and n > 1
+
+        # full-train CE of each perturbed sample as a scanned single dispatch
+        # per sample (a per-batch loop pays dispatch+sync latency x batches x
+        # samples — the reference's epoch-sized synchronous pass, `csgld.py:550`)
+        if getattr(self, "_jit_lik_scan", None) is None:
+            def lik_scan(theta_s, ns, xs, ys, vs):
+                def body(tot, inp):
+                    x, y, v = inp
+                    logits, _ = self.target.forward(theta_s, ns, x,
+                                                    train=False)
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    picked = jnp.take_along_axis(
+                        logp, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+                    return tot + jnp.sum(-picked * v), None
+                tot, _ = jax.lax.scan(body, jnp.zeros(()), (xs, ys, vs))
+                return tot
+            self._jit_lik_scan = jax.jit(lik_scan)
+
+        batches = list(train_loader)
+        xs = jnp.asarray(np.stack([b[0] for b in batches]))
+        ys = jnp.asarray(np.stack([b[1] for b in batches]))
+        vs = jnp.asarray(np.stack([b[2] for b in batches]))
+        cnt = float(np.sum([b[2].sum() for b in batches]))
+
         liks = []
         for s in range(max(1, self.nst)):
             key = jax.random.fold_in(self.eval_key, 10_000 + s)
             theta_s = self._jit_perturb(state.theta, var, key) if use_noise \
                 else state.theta
-            tot, cnt = 0.0, 0
-            for x, y, valid in train_loader:
-                tot += float(self._jit_ce_sum(
-                    theta_s, jnp.asarray(x), jnp.asarray(y),
-                    jnp.asarray(valid)))
-                cnt += int(valid.sum())
-            avg = tot / cnt
-            liks.append(float(np.exp(-avg)))
+            tot = float(self._jit_lik_scan(theta_s, self.net_state,
+                                           xs, ys, vs))
+            liks.append(float(np.exp(-tot / cnt)))
         return np.asarray(liks)
 
     # ---- GMM predictive -----------------------------------------------------
