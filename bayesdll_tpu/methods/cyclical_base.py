@@ -231,9 +231,15 @@ class CyclicalRunnerBase(base.BaseRunner):
             self._jit_lik_scan = jax.jit(lik_scan)
 
         batches = list(train_loader)
-        xs = jnp.asarray(np.stack([b[0] for b in batches]))
-        ys = jnp.asarray(np.stack([b[1] for b in batches]))
-        vs = jnp.asarray(np.stack([b[2] for b in batches]))
+        per_batch = batches[0][0].nbytes + batches[0][1].nbytes
+        chunk = max(1, (256 * 1024 * 1024) // per_batch)
+        chunks = []
+        for s0 in range(0, len(batches), chunk):
+            part = batches[s0:s0 + chunk]
+            chunks.append((
+                jnp.asarray(np.stack([b[0] for b in part])),
+                jnp.asarray(np.stack([b[1] for b in part])),
+                jnp.asarray(np.stack([b[2] for b in part]))))
         cnt = float(np.sum([b[2].sum() for b in batches]))
 
         liks = []
@@ -241,8 +247,10 @@ class CyclicalRunnerBase(base.BaseRunner):
             key = jax.random.fold_in(self.eval_key, 10_000 + s)
             theta_s = self._jit_perturb(state.theta, var, key) if use_noise \
                 else state.theta
-            tot = float(self._jit_lik_scan(theta_s, self.net_state,
-                                           xs, ys, vs))
+            tot = 0.0
+            for xs, ys, vs in chunks:
+                tot += float(self._jit_lik_scan(theta_s, self.net_state,
+                                                xs, ys, vs))
             liks.append(float(np.exp(-tot / cnt)))
         return np.asarray(liks)
 
