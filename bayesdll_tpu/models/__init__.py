@@ -59,3 +59,24 @@ def create_backbone(name: str, num_classes: int = 10, **kw) -> Tuple:
 
 def available_backbones():
     return sorted(_REGISTRY)
+
+
+def nb_parameters(params) -> int:
+    """Total parameter count (reference `networks/__init__.py:60`)."""
+    import numpy as np
+    import jax
+    return int(sum(np.prod(p.shape) for p in jax.tree.leaves(params)))
+
+
+def module_names(params) -> str:
+    """Human-readable per-leaf shape listing (reference
+    `networks/__init__.py:61`)."""
+    import numpy as np
+    import jax
+    lines = []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        name = "/".join(str(getattr(e, "key", getattr(e, "name", e)))
+                        for e in path)
+        lines.append(f"{name} -- shape = {list(leaf.shape)}, "
+                     f"#params = {int(np.prod(leaf.shape))}")
+    return "\n".join(lines) + "\n"
