@@ -107,8 +107,13 @@ class BaseRunner:
         # the step carries (sampler state, net_state): net_state holds
         # mutable model collections (BatchNorm batch_stats), threaded through
         # training so running stats update like the reference's workhorse
-        # net in train mode (SURVEY.md §7 'BatchNorm under sampled weights')
-        self._jit_step = jax.jit(self._step, donate_argnums=(0, 1))
+        # net in train mode (SURVEY.md §7 'BatchNorm under sampled weights').
+        # The FlatTarget (theta0 + mask vectors, O(model) bytes) is passed as
+        # a jit ARGUMENT via a trace-time swap — closure capture would embed
+        # those vectors as literals in the compile request, which overflows
+        # the remote-compile size limit at ViT-L scale.
+        self._jit_step = jax.jit(self._swap_target(self._step),
+                                 donate_argnums=(1, 2))
         self._jit_predict = jax.jit(self._predict_logits)
         self._jit_scan_step = None  # built lazily (fused multi-step path)
 
@@ -123,6 +128,20 @@ class BaseRunner:
         """(state, net_state, batch, key, scalars) ->
         (state', net_state', (loss, err_count))."""
         raise NotImplementedError
+
+    def _swap_target(self, fn):
+        """Wrap `fn` so the jitted version takes self.target as a leading
+        argument (swapped in during tracing).  Keeps the big per-element
+        vectors (theta0, is_head, is_bias) out of the compiled program's
+        constant pool."""
+        def wrapped(tgt, *args):
+            saved = self.target
+            self.target = tgt
+            try:
+                return fn(*args)
+            finally:
+                self.target = saved
+        return wrapped
 
     def pred_state(self):
         raise NotImplementedError
@@ -195,10 +214,11 @@ class BaseRunner:
                 return state, ns, metrics
 
             self._jit_scan_step[cache_key] = jax.jit(
-                scan_fn, donate_argnums=(0, 1))
+                self._swap_target(scan_fn), donate_argnums=(1, 2))
         self.state, self.net_state, (loss_k, err_k) = \
             self._jit_scan_step[cache_key](
-                self.state, self.net_state, xs, ys, jnp.asarray(bi0, jnp.int32))
+                self.target, self.state, self.net_state, xs, ys,
+                jnp.asarray(bi0, jnp.int32))
         self.bi = bi0 + int(xs.shape[0])
         return loss_k, err_k
 
@@ -258,8 +278,8 @@ class BaseRunner:
             key = jax.random.fold_in(self.train_key, self.bi)
             scalars = self.step_scalars(ep)
             self.state, self.net_state, (loss_, errcnt) = self._jit_step(
-                self.state, self.net_state, jnp.asarray(x), jnp.asarray(y),
-                key, scalars)
+                self.target, self.state, self.net_state, jnp.asarray(x),
+                jnp.asarray(y), key, scalars)
             # device-side metric scalars; host sync deferred to epoch end
             loss_terms.append(loss_)
             err_terms.append(errcnt)
@@ -387,8 +407,9 @@ class BaseRunner:
                     body, (jnp.zeros(()), jnp.zeros(())), (xs, ys, vs, idx))
                 return logits_nb, la_nb, loss_s, err_s
 
-            self._jit_eval_scan = jax.jit(eval_scan)
-        return self._jit_eval_scan(ps, self.net_state, xs, ys, vs)
+            self._jit_eval_scan = jax.jit(self._swap_target(eval_scan))
+        return self._jit_eval_scan(self.target, ps, self.net_state,
+                                   xs, ys, vs)
 
     def _eval_and_maybe_save(self, ep, val_loader, test_loader, best_loss):
         cfg, logger = self.cfg, self.logger

@@ -67,7 +67,6 @@ class CyclicalRunnerBase(base.BaseRunner):
         # likelihoods, theta)
         self.cycle_stats: Dict[int, dict] = {}
         self.all_samples: Dict[str, np.ndarray] = {}  # --full_sample archive
-        self._jit_ce_sum = jax.jit(self._ce_sum)
         self._jit_perturb = jax.jit(self._perturb)
 
     # ---- cyclical plumbing --------------------------------------------------
@@ -189,13 +188,6 @@ class CyclicalRunnerBase(base.BaseRunner):
 
     # ---- full-batch likelihoods (reference `methods/csgld.py:508-562`) -----
 
-    def _ce_sum(self, theta, x, y, valid):
-        logits, _ = self.target.forward(theta, self.net_state, x, train=False)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        picked = jnp.take_along_axis(
-            logp, y[:, None].astype(jnp.int32), axis=1)[:, 0]
-        return jnp.sum(-picked * valid)
-
     def _perturb(self, theta, var, key):
         eps = jax.random.normal(key, theta.shape, theta.dtype)
         return theta + jnp.sqrt(var) * eps
@@ -228,7 +220,7 @@ class CyclicalRunnerBase(base.BaseRunner):
                     return tot + jnp.sum(-picked * v), None
                 tot, _ = jax.lax.scan(body, jnp.zeros(()), (xs, ys, vs))
                 return tot
-            self._jit_lik_scan = jax.jit(lik_scan)
+            self._jit_lik_scan = jax.jit(self._swap_target(lik_scan))
 
         batches = list(train_loader)
         per_batch = batches[0][0].nbytes + batches[0][1].nbytes
@@ -249,8 +241,8 @@ class CyclicalRunnerBase(base.BaseRunner):
                 else state.theta
             tot = 0.0
             for xs, ys, vs in chunks:
-                tot += float(self._jit_lik_scan(theta_s, self.net_state,
-                                                xs, ys, vs))
+                tot += float(self._jit_lik_scan(
+                    self.target, theta_s, self.net_state, xs, ys, vs))
             liks.append(float(np.exp(-tot / cnt)))
         return np.asarray(liks)
 
@@ -317,13 +309,14 @@ class CyclicalRunnerBase(base.BaseRunner):
                 idx = jnp.arange(xs.shape[0], dtype=jnp.int32)
                 _, la_nb = jax.lax.scan(body, None, (xs, idx))
                 return la_nb  # [NB, S, B, K]
-            self._jit_comp_scan = jax.jit(comp_scan)
+            self._jit_comp_scan = jax.jit(self._swap_target(comp_scan))
 
         batches = list(loader)
         xs = jnp.asarray(np.stack([b[0] for b in batches]))
         comp_las = []  # per component: [NB, S, B, K] numpy
         for c, w in comps:
             la_nb = self._jit_comp_scan(
+                self.target,
                 jnp.asarray(self.cycle_stats[c]["mean"]),
                 jnp.asarray(self.cycle_stats[c]["var"]), self.net_state, xs,
                 jnp.asarray(c, jnp.int32))
@@ -381,14 +374,14 @@ class CyclicalRunnerBase(base.BaseRunner):
                 (ls, es), logits_nb = jax.lax.scan(
                     body, (jnp.zeros(()), jnp.zeros(())), (xs, ys, vs))
                 return logits_nb, ls, es
-            self._jit_point_scan = jax.jit(point_scan)
+            self._jit_point_scan = jax.jit(self._swap_target(point_scan))
 
         batches = list(loader)
         xs = jnp.asarray(np.stack([b[0] for b in batches]))
         ys = jnp.asarray(np.stack([b[1] for b in batches]))
         vs = jnp.asarray(np.stack([b[2] for b in batches]))
-        logits_nb, ls, es = self._jit_point_scan(theta, self.net_state,
-                                                 xs, ys, vs)
+        logits_nb, ls, es = self._jit_point_scan(
+            self.target, theta, self.net_state, xs, ys, vs)
         logits_nb = np.asarray(logits_nb)
         n = float(np.sum([b[2].sum() for b in batches]))
         targets, logits_list, logits_all_list = [], [], []

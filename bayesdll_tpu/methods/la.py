@@ -150,13 +150,13 @@ class Runner(base.BaseRunner):
         theta = self.map_theta
 
         def one_example_loss(theta_, xi, yi):
-            logits, _ = t.forward(theta_, self.net_state, xi[None], train=False)
+            logits, _ = self.target.forward(theta_, self.net_state, xi[None],
+                                            train=False)
             return base.ce_loss(logits, yi[None])
 
         grad_one = jax.grad(one_example_loss)
 
-        @jax.jit
-        def accumulate(prec, xb, yb):
+        def accumulate_body(theta, prec, xb, yb):
             def chunk_body(p, chunk):
                 xc, yc = chunk
                 g = jax.vmap(lambda xi, yi: grad_one(theta, xi, yi))(xc, yc)
@@ -171,9 +171,11 @@ class Runner(base.BaseRunner):
                 prec = prec + g * g
             return prec
 
+        accumulate = jax.jit(self._swap_target(accumulate_body))
         for xb, yb, valid in train_loader:
             # train loader uses drop_last, so batches are full/valid
-            precision = accumulate(precision, jnp.asarray(xb), jnp.asarray(yb))
+            precision = accumulate(self.target, theta, precision,
+                                   jnp.asarray(xb), jnp.asarray(yb))
         return 1.0 / precision
 
     def extra_ckpt(self):

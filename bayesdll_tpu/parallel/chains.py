@@ -70,12 +70,22 @@ class MultiChainTrainer:
                          runner.net_state), chain_sh)
 
         vstep = jax.vmap(runner._step, in_axes=(0, 0, 0, 0, 0, None))
+
+        def vstep_with_target(tgt, states, net_states, x, y, keys, scalars):
+            saved = runner.target
+            runner.target = tgt
+            try:
+                return vstep(states, net_states, x, y, keys, scalars)
+            finally:
+                runner.target = saved
+
+        rep = NamedSharding(mesh, P())
         self._jit_step = jax.jit(
-            vstep,
-            in_shardings=(chain_sh, chain_sh, batch_sh, batch_sh, chain_sh,
-                          None),
+            vstep_with_target,
+            in_shardings=(rep, chain_sh, chain_sh, batch_sh, batch_sh,
+                          chain_sh, None),
             out_shardings=(chain_sh, chain_sh, (chain_sh, chain_sh)),
-            donate_argnums=(0, 1),
+            donate_argnums=(1, 2),
         )
         self._batch_sh = batch_sh
         self._chain_keys = jax.random.split(
@@ -98,7 +108,8 @@ class MultiChainTrainer:
         x = jax.device_put(jnp.asarray(x), self._batch_sh)
         y = jax.device_put(jnp.asarray(y), self._batch_sh)
         self.states, self.net_states, (loss_c, err_c) = self._jit_step(
-            self.states, self.net_states, x, y, keys, scalars)
+            self.runner.target, self.states, self.net_states, x, y, keys,
+            scalars)
         self.bi += 1
         return loss_c, err_c
 

@@ -81,20 +81,19 @@ class MultiChainRunner:
         # pass the current per-chain moments as ARGUMENTS (a jitted closure
         # over trainer.states would go stale as training advances)
         if self._jit_pred is None:
-            t = self.runner.target
-
             @jax.jit
-            def jit_pred(means, vars_, x, key):
+            def jit_pred(tgt, ns, means, vars_, x, key):
                 def chain_logits(mean, var, ck):
                     return base.gaussian_sample_logits(
-                        t, self.runner.net_state, mean, var, x, ck, nst)
+                        tgt, ns, mean, var, x, ck, nst)
                 keys = jax.random.split(key, means.shape[0])
                 la = jax.vmap(chain_logits)(means, vars_, keys)  # [C,S,B,K]
                 c, s, b, k = la.shape
                 return la.reshape(c * s, b, k)
 
             self._jit_pred = jit_pred
-        jit_pred = self._jit_pred
+        jit_pred = lambda m, v, x, k: self._jit_pred(
+            self.runner.target, self.runner.net_state, m, v, x, k)
 
         # de-shard the per-chain moments for evaluation: the predictive is a
         # small replicated computation, and keeping the chain sharding here

@@ -31,8 +31,8 @@ def test_bn_stats_update_through_training():
     y = jnp.asarray(rng.randint(0, 5, 4).astype(np.int32))
     for i in range(2):
         runner.state, runner.net_state, _ = runner._jit_step(
-            runner.state, runner.net_state, x, y, jax.random.PRNGKey(i),
-            {"collect": False})
+            runner.target, runner.state, runner.net_state, x, y,
+            jax.random.PRNGKey(i), {"collect": False})
 
     stats_after = runner.net_state["batch_stats"]
     diffs = jax.tree.map(

@@ -49,14 +49,14 @@ def main(backbone="resnet101", batch=64, dtype="bfloat16", steps=20):
 
     t0 = time.time()
     state, ns = runner.state, runner.net_state
-    state, ns, m = runner._jit_step(state, ns, x, y, jax.random.PRNGKey(0),
-                                    scalars)
+    state, ns, m = runner._jit_step(runner.target, state, ns, x, y,
+                                    jax.random.PRNGKey(0), scalars)
     jax.block_until_ready(state)
     print(f"compile+first step: {time.time() - t0:.1f}s")
 
     t0 = time.perf_counter()
     for i in range(steps):
-        state, ns, m = runner._jit_step(state, ns, x, y,
+        state, ns, m = runner._jit_step(runner.target, state, ns, x, y,
                                         jax.random.PRNGKey(i), scalars)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
