@@ -120,6 +120,12 @@ HPARAMS = {
     "sghmc": {"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.05",
               "burnin": "2", "thin": "2", "bias": "informative", "nst": "5",
               "momentum_decay": "0.05"},
+    # flagship: cyclical SGHMC with the full GMM machinery; small prior_sig
+    # because the reference's prior term is the un-normalized prior_sig*theta
+    # decay (reference `methods/csghmc.py:759-762`)
+    "csghmc": {"prior_sig": "0.01", "Ninflate": "1.0", "nd": "0.01",
+               "burnin": "0", "thin": "2", "bias": "informative", "nst": "3",
+               "momentum_decay": "0.05"},
 }
 
 
@@ -153,7 +159,8 @@ def run_reference(method, train_np, test_np, workdir):
         lr_head=CONFIG["lr_head"], momentum=CONFIG["momentum"],
         seed=CONFIG["seed"], log_dir=workdir, test_eval_freq=1,
         device="cpu", ND=len(xtr) - (len(xtr) % CONFIG["batch_size"]),
-        use_wandb=False,
+        use_wandb=False, num_cycles=2, proportion_exploration=0.5,
+        full_sample=False,
     )
     logger = logging.getLogger(f"ref_{method}")
     logger.addHandler(logging.NullHandler())
@@ -183,7 +190,7 @@ def run_ours(method, train_np, test_np, workdir):
                  epochs=CONFIG["epochs"], batch_size=CONFIG["batch_size"],
                  lr=CONFIG["lr"], lr_head=CONFIG["lr_head"],
                  momentum=CONFIG["momentum"], seed=CONFIG["seed"],
-                 val_heldout=0.0)
+                 val_heldout=0.0, num_cycles=2, proportion_exploration=0.5)
     (xtr, ytr), (xte, yte) = train_np, test_np
     train = ArrayLoader(xtr, ytr.astype(np.int32), cfg.batch_size,
                         shuffle=True, seed=cfg.seed, drop_last=True)
