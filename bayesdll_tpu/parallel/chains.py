@@ -24,9 +24,6 @@ an equal-weight mixture over per-chain Gaussian approximations.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,7 +44,6 @@ class MultiChainTrainer:
 
         chain_sh = NamedSharding(mesh, P("chain"))
         batch_sh = NamedSharding(mesh, P("chain", "data"))
-        rep_sh = NamedSharding(mesh, P())
 
         # distinct per-chain initial states: fold chain index into the init
         keys = jax.random.split(
@@ -91,9 +87,6 @@ class MultiChainTrainer:
         self._chain_keys = jax.random.split(
             jax.random.fold_in(runner.train_key, seed_offset), self.n_chain)
         self.bi = 0
-
-    def _metrics_reduce(self, loss_c, err_c):
-        return jnp.mean(loss_c), jnp.sum(err_c)
 
     def step(self, x, y, scalars=None):
         """One sharded multi-chain step.

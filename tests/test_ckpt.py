@@ -1,0 +1,50 @@
+"""Checkpoint save/load roundtrip: resumed state must equal saved state and
+continue training identically (SURVEY.md §5.4 — the reference exposes
+load_ckpt but never wires resume; here it is a tested workflow)."""
+
+import numpy as np
+
+from bayesdll_tpu.methods import get_runner_cls
+from tests.helpers import tiny_setup
+
+
+def test_ckpt_roundtrip_and_identical_continuation(tmp_path):
+    hp = {"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.1", "burnin": "0",
+          "thin": "2", "bias": "informative", "nst": "2"}
+
+    def fresh():
+        cfg, target, theta_init, net_state, train, val, test = tiny_setup(
+            method="sgld", hparams=dict(hp), epochs=2, batch_size=64,
+            lr=1e-2, n_train=512)
+        r = get_runner_cls("sgld")(target, theta_init, net_state, cfg,
+                                   workdir=str(tmp_path))
+        return r, train, test
+
+    # run 1: one epoch, save
+    r1, train, test = fresh()
+    r1.epoch_begin(0)
+    r1.train_one_epoch(0, train)
+    r1.save_ckpt(0)
+
+    # run 2: same epoch from scratch in a fresh runner, then load the ckpt —
+    # states must match exactly
+    r2, train2, _ = fresh()
+    # align the loader's shuffle stream with run 1 (which consumed epoch 0);
+    # resume reproducibility covers sampler state — data order is the host's
+    # responsibility, as in the reference
+    for _ in train2:
+        pass
+    ep = r2.load_ckpt(str(tmp_path / "ckpt.pkl"))
+    assert ep == 0
+    np.testing.assert_array_equal(np.asarray(r2.state.theta),
+                                  np.asarray(r1.state.theta))
+    assert r2.bi == r1.bi
+
+    # continuation: both runners take the same next epoch -> identical result
+    r1.epoch_begin(1)
+    r1.train_one_epoch(1, train)
+    r2.epoch_begin(1)
+    r2.train_one_epoch(1, train2)
+    np.testing.assert_allclose(np.asarray(r2.state.theta),
+                               np.asarray(r1.state.theta),
+                               rtol=1e-6, atol=1e-7)
