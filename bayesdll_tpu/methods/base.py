@@ -114,7 +114,6 @@ class BaseRunner:
         # the remote-compile size limit at ViT-L scale.
         self._jit_step = jax.jit(self._swap_target(self._step),
                                  donate_argnums=(1, 2))
-        self._jit_predict = jax.jit(self._predict_logits)
         self._jit_scan_step = None  # built lazily (fused multi-step path)
 
         self.results = {}

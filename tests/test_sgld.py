@@ -97,3 +97,25 @@ def test_sgld_end_to_end_synthetic():
     assert "nll" in results and "ece" in results
     assert results["test_err"] < 0.9  # better than chance on 10 classes
     assert int(runner.state.moments.cnt) > 1
+
+
+def test_masked_moment_updates_match_cond():
+    """update_masked(theta, c) must equal update() when c else identity."""
+    import jax.numpy as jnp
+    from bayesdll_tpu.core.moments import RunningMoments, WelfordMoments
+    rng = np.random.RandomState(0)
+    theta1 = jnp.asarray(rng.randn(50).astype(np.float32))
+    theta2 = jnp.asarray(rng.randn(50).astype(np.float32))
+
+    for cls in (RunningMoments, WelfordMoments):
+        m = cls.zeros(50)
+        m_a = m.update(theta1).update(theta2)
+        m_b = m.update_masked(theta1, True).update_masked(
+            jnp.asarray(rng.randn(50).astype(np.float32)), False
+        ).update_masked(theta2, True)
+        ma_mean, ma_var = m_a.mean_var()
+        mb_mean, mb_var = m_b.mean_var()
+        np.testing.assert_allclose(np.asarray(ma_mean), np.asarray(mb_mean),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ma_var), np.asarray(mb_var),
+                                   rtol=1e-4, atol=1e-6)
