@@ -54,21 +54,21 @@ def main(backbone="resnet101", batch=64, dtype="bfloat16", steps=20):
     jax.block_until_ready(state)
     print(f"compile+first step: {time.time() - t0:.1f}s")
 
-    # 3 timed trials, report the median (single short trials right after
-    # compile have measured unrealistically fast — warm the pipeline first)
-    rates = []
-    for trial in range(3):
+    # per-step timing with a FORCED host readback of the loss each step:
+    # through the remote-chip tunnel, block_until_ready on queued donated
+    # steps has reported unrealistically fast times (above hardware peak),
+    # so every step is fenced by reading a scalar back
+    times = []
+    for i in range(steps):
         t0 = time.perf_counter()
-        for i in range(steps):
-            state, ns, m = runner._jit_step(runner.target, state, ns, x, y,
-                                            jax.random.PRNGKey(i), scalars)
-        jax.block_until_ready((state, ns, m))
-        dt = time.perf_counter() - t0
-        rates.append(steps / dt)
-    sps = sorted(rates)[1]
-    print(f"RESULT {backbone} bs={batch} {dtype}: {sps:.2f} steps/s = "
-          f"{sps * batch:.0f} gradient-evals/sec/chip "
-          f"({1000 / sps:.1f} ms/step)")
+        state, ns, m = runner._jit_step(runner.target, state, ns, x, y,
+                                        jax.random.PRNGKey(i), scalars)
+        float(m[0])  # true device->host sync
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    print(f"RESULT {backbone} bs={batch} {dtype}: {1 / med:.2f} steps/s = "
+          f"{batch / med:.0f} gradient-evals/sec/chip "
+          f"({med * 1000:.1f} ms/step, median of {steps} sync-timed steps)")
     assert bool(jnp.isfinite(m[0]))
 
 
