@@ -83,6 +83,7 @@ class ViT(nn.Module):
     image_size: int = 224
     num_classes: int = 1000
     dtype: str = "float32"
+    remat: bool = False  # rematerialise each block (memory for FLOPs)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -103,8 +104,9 @@ class ViT(nn.Module):
                          (1, t + 1, self.dim)).astype(dt)
         x = x + pos
 
+        block_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
         scanned = nn.scan(
-            EncoderBlock,
+            block_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.depth,
@@ -124,7 +126,8 @@ class ViT(nn.Module):
 def _vit_l_32(num_classes: int = 1000, **kw):
     model = ViT(patch=32, dim=1024, depth=24, heads=16, mlp_dim=4096,
                 image_size=224, num_classes=num_classes,
-                dtype=kw.get("dtype", "float32"))
+                dtype=kw.get("dtype", "float32"),
+                remat=bool(kw.get("remat", False)))
     return model, (224, 224, 3), {"has_batch_stats": False,
                                   "has_dropout": False}
 

@@ -59,14 +59,18 @@ def main():
     ys = jnp.broadcast_to(y, (k,) + y.shape)
 
     # warmup/compile
-    runner.run_steps(0, xs, ys, 0)
-    jax.block_until_ready(runner.state)
+    loss_k, _ = runner.run_steps(0, xs, ys, 0)
+    float(loss_k[-1])
 
+    # fence with a host readback of the final step's loss: the loss of scan
+    # i depends on the donated state chain through every prior step, so one
+    # scalar readback serializes the whole timed region (block_until_ready
+    # alone has reported inflated rates through the remote-chip tunnel)
     n_scans = 8
     t0 = time.perf_counter()
     for i in range(n_scans):
-        runner.run_steps(0, xs, ys, k * (1 + i))
-    jax.block_until_ready(runner.state)
+        loss_k, _ = runner.run_steps(0, xs, ys, k * (1 + i))
+    float(loss_k[-1])
     dt = time.perf_counter() - t0
 
     grad_evals_per_sec = n_scans * k * bs / dt
