@@ -105,6 +105,11 @@ def build_all(cfg, logger):
             cfg.pretrained, cfg.backbone, target, theta_init,
             num_classes=cfg.num_classes)
 
+    # architecture summary (reference logs net arch + #params,
+    # `demo_mnist.py:100-146`, `networks/__init__.py:60-61`)
+    logger.info("backbone %s: %d parameters", cfg.backbone,
+                int(target.dim))
+
     runner_cls = get_runner_cls(cfg.method)
     workdir = os.path.join(cfg.log_dir, cfg.run_name())
     runner = runner_cls(target, theta_init, net_state, cfg, logger=logger,
