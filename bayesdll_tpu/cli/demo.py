@@ -56,6 +56,9 @@ def parse_args(argv=None):
                         "(TPU-native; no reference equivalent)")
     p.add_argument("--data_parallel", type=int, default=1,
                    help="within-chain batch sharding over the 'data' axis")
+    p.add_argument("--fsdp", action="store_true",
+                   help="additionally shard sampler state vectors over the "
+                        "'data' axis (flat-vector FSDP)")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint path to resume training from")
     p.add_argument("--profile_dir", type=str, default=None,
@@ -123,7 +126,8 @@ def build_all(cfg, logger):
         data_parallel = (cfg.mesh_shape or {}).get("data", 1)
         mesh = make_mesh(cfg.num_chains, data_parallel)
         runner = MultiChainRunner(runner, mesh, logger=logger,
-                                  workdir=workdir)
+                                  workdir=workdir,
+                                  fsdp=bool(getattr(cfg, "fsdp", False)))
     return runner, (train, val, test)
 
 
@@ -144,6 +148,7 @@ def main(argv=None):
         num_chains=args.num_chains, fused_steps=args.fused_steps,
         mesh_shape={"chain": args.num_chains, "data": args.data_parallel},
     )
+    cfg.fsdp = args.fsdp
 
     np.random.seed(cfg.seed)
 

@@ -36,14 +36,31 @@ class MultiChainTrainer:
     """Runs `n_chain` independent copies of a method Runner's sampler step,
     sharded over a ('chain', 'data') mesh."""
 
-    def __init__(self, runner, mesh: Mesh, *, seed_offset: int = 0):
+    def __init__(self, runner, mesh: Mesh, *, seed_offset: int = 0,
+                 fsdp: bool = False):
+        """fsdp=True additionally shards every per-chain state VECTOR over
+        the 'data' axis (flat-vector FSDP): each device holds 1/n_data of
+        theta / momentum / moment accumulators, XLA all-gathers parameters
+        at the forward and keeps the fused sampler update fully sharded.
+        Cuts per-device sampler-state memory and elementwise work by
+        n_data — the flat representation makes this a sharding annotation,
+        not a code change."""
         self.runner = runner
         self.mesh = mesh
+        self.fsdp = fsdp
         self.n_chain = mesh.shape["chain"]
         self.n_data = mesh.shape["data"]
 
         chain_sh = NamedSharding(mesh, P("chain"))
+        chain_fsdp_sh = NamedSharding(mesh, P("chain", "data"))
         batch_sh = NamedSharding(mesh, P("chain", "data"))
+
+        def state_sharding_for(leaf):
+            # stacked state leaves are [n_chain, ...]; shard the big flat
+            # vectors over 'data' too when fsdp is on
+            if fsdp and leaf.ndim == 2 and leaf.shape[1] % self.n_data == 0:
+                return chain_fsdp_sh
+            return chain_sh
 
         # distinct per-chain initial states: fold chain index into the init
         keys = jax.random.split(
@@ -58,7 +75,8 @@ class MultiChainTrainer:
             return st.replace(theta=st.theta + noise)
 
         states = jax.vmap(chain_init)(keys)
-        self.states = jax.device_put(states, chain_sh)
+        self._state_sh = jax.tree.map(state_sharding_for, states)
+        self.states = jax.device_put(states, self._state_sh)
         # per-chain mutable model collections (BatchNorm batch_stats):
         # each chain evolves its own running stats
         self.net_states = jax.device_put(
@@ -78,9 +96,9 @@ class MultiChainTrainer:
         rep = NamedSharding(mesh, P())
         self._jit_step = jax.jit(
             vstep_with_target,
-            in_shardings=(rep, chain_sh, chain_sh, batch_sh, batch_sh,
+            in_shardings=(rep, self._state_sh, chain_sh, batch_sh, batch_sh,
                           chain_sh, None),
-            out_shardings=(chain_sh, chain_sh, (chain_sh, chain_sh)),
+            out_shardings=(self._state_sh, chain_sh, (chain_sh, chain_sh)),
             donate_argnums=(1, 2),
         )
         self._batch_sh = batch_sh

@@ -32,10 +32,11 @@ from bayesdll_tpu.parallel.chains import MultiChainTrainer
 
 
 class MultiChainRunner:
-    def __init__(self, runner, mesh, logger=None, workdir=None):
+    def __init__(self, runner, mesh, logger=None, workdir=None,
+                 fsdp: bool = False):
         self.runner = runner
         self.mesh = mesh
-        self.trainer = MultiChainTrainer(runner, mesh)
+        self.trainer = MultiChainTrainer(runner, mesh, fsdp=fsdp)
         self.logger = logger or runner.logger
         self.workdir = workdir or runner.workdir
         self.cfg = runner.cfg

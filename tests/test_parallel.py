@@ -94,3 +94,37 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(8)
+
+
+def test_fsdp_state_sharding_matches_unsharded():
+    """FSDP mode (state vectors sharded over 'data') must produce the same
+    math as the replicated-state path."""
+    from tests.helpers import tiny_setup
+    cfg, target, theta_init, net_state, *_ = tiny_setup(
+        method="sgld",
+        hparams={"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.0",
+                 "burnin": "0", "thin": "1", "bias": "informative",
+                 "nst": "0"},
+        epochs=1, batch_size=16, lr=1e-2, width=32, depth=2)
+    runner = get_runner_cls("sgld")(target, theta_init, net_state, cfg)
+    mesh = make_mesh(2, 4)
+
+    rng = np.random.RandomState(2)
+    xb = rng.randn(16, 784).astype(np.float32)
+    yb = rng.randint(0, 10, size=(16,)).astype(np.int32)
+    x = np.stack([xb, xb])
+    y = np.stack([yb, yb])
+
+    results = {}
+    for fsdp in (False, True):
+        tr = MultiChainTrainer(runner, mesh, fsdp=fsdp)
+        theta0 = jnp.asarray(theta_init)
+        st = runner.init_state(theta0)
+        tr.states = jax.device_put(
+            jax.tree.map(lambda l: jnp.stack([l] * 2), st), tr._state_sh)
+        tr._chain_keys = jnp.stack([tr._chain_keys[0]] * 2)
+        tr.step(x, y, {"collect": True})
+        results[fsdp] = np.asarray(jax.device_get(tr.states.theta))
+
+    np.testing.assert_allclose(results[True], results[False],
+                               rtol=1e-6, atol=1e-7)
