@@ -117,6 +117,8 @@ class BaseRunner:
         self._jit_scan_step = None  # built lazily (fused multi-step path)
 
         self.results = {}
+        self._train_step_count = 0
+        self._train_step_time = 0.0
 
     # ---- subclass interface -------------------------------------------------
 
@@ -236,11 +238,15 @@ class BaseRunner:
         best_loss = np.inf
         tic0 = time.time()
 
+        self._train_step_count = 0
+        self._train_step_time = 0.0
         for ep in range(start_epoch, cfg.epochs):
             self.epoch_begin(ep)
             tic = time.time()
             losses_train[ep], errors_train[ep] = self.train_one_epoch(ep, train_loader)
             toc = time.time()
+            self._train_step_count += len(train_loader)
+            self._train_step_time += toc - tic
             logger.info(
                 "[Epoch %d/%d] Training summary: loss = %.4f, "
                 "prediction error = %.4f (time: %.4f seconds)",
@@ -256,6 +262,12 @@ class BaseRunner:
             toc0 - tic0, (toc0 - tic0) / max(cfg.epochs, 1))
         self.results.setdefault("best_loss", float(best_loss))
         self.results["total_time"] = toc0 - tic0
+        if self._train_step_time > 0:
+            sps = self._train_step_count / self._train_step_time
+            self.results["train_steps_per_sec"] = sps
+            self.results["grad_evals_per_sec"] = sps * cfg.batch_size
+            logger.info("Throughput: %.1f steps/s = %.0f gradient-evals/s",
+                        sps, sps * cfg.batch_size)
         return self.results
 
     def use_fused(self, ep: int) -> bool:

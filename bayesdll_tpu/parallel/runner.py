@@ -72,7 +72,28 @@ class MultiChainRunner:
                     logger.info("[Calibration] ECE = %.4f, MCE = %.4f, "
                                 "NLL = %.4f", ece, mce, nll)
         self.results["total_time"] = time.time() - tic0
+        self.save_ckpt(cfg.epochs - 1)
         return self.results
+
+    def save_ckpt(self, ep: int, fname: str = "chains_ckpt.pkl"):
+        """Persist the stacked per-chain sampler states + net_states."""
+        if not self.workdir:
+            return None
+        import os
+        import pickle
+        path = os.path.join(self.workdir, fname)
+        payload = {
+            "epoch": ep,
+            "n_chain": self.trainer.n_chain,
+            "states": jax.tree.map(np.asarray,
+                                   jax.device_get(self.trainer.states)),
+            "net_states": jax.tree.map(np.asarray,
+                                       jax.device_get(self.trainer.net_states)),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        self.logger.info("Multi-chain checkpoint saved at %s", path)
+        return path
 
     def evaluate(self, loader):
         nst = max(1, self.runner.nst)
