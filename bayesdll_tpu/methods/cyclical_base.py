@@ -269,6 +269,33 @@ class CyclicalRunnerBase(base.BaseRunner):
     def _predict_logits(self, pred_state, x, key):
         raise NotImplementedError  # GMM eval path used instead
 
+    def _build_comp_scan(self):
+        """Build the jitted per-component eval scan
+        (mean, var, net_state, stacked-batches, comp_id) -> [NB, S, B, K]."""
+        if getattr(self, "_jit_comp_scan", None) is not None:
+            return
+
+        def comp_scan(mean, var, ns, xs, comp_id):
+            saved = self.net_state
+            self.net_state = ns
+            try:
+                return comp_scan_body(mean, var, xs, comp_id)
+            finally:
+                self.net_state = saved
+
+        def comp_scan_body(mean, var, xs, comp_id):
+            def body(carry, inp):
+                x, i = inp
+                key = jax.random.fold_in(
+                    self.eval_key, i * 1000 + comp_id)
+                la = self._component_logits(mean, var, x, key)
+                return carry, la
+            idx = jnp.arange(xs.shape[0], dtype=jnp.int32)
+            _, la_nb = jax.lax.scan(body, None, (xs, idx))
+            return la_nb  # [NB, S, B, K]
+
+        self._jit_comp_scan = jax.jit(self._swap_target(comp_scan))
+
     def _component_logits(self, mean, var, x, key):
         """[S, B, K] logits for one mixture component."""
         return base.gaussian_sample_logits(
@@ -290,26 +317,7 @@ class CyclicalRunnerBase(base.BaseRunner):
         # per-component scanned pass over ALL eval batches (one dispatch per
         # component instead of per batch x component — a naive loop pays the
         # host-sync + dispatch latency each time)
-        if getattr(self, "_jit_comp_scan", None) is None:
-            def comp_scan(mean, var, ns, xs, comp_id):
-                saved = self.net_state
-                self.net_state = ns
-                try:
-                    return comp_scan_body(mean, var, xs, comp_id)
-                finally:
-                    self.net_state = saved
-
-            def comp_scan_body(mean, var, xs, comp_id):
-                def body(carry, inp):
-                    x, i = inp
-                    key = jax.random.fold_in(
-                        self.eval_key, i * 1000 + comp_id)
-                    la = self._component_logits(mean, var, x, key)
-                    return carry, la
-                idx = jnp.arange(xs.shape[0], dtype=jnp.int32)
-                _, la_nb = jax.lax.scan(body, None, (xs, idx))
-                return la_nb  # [NB, S, B, K]
-            self._jit_comp_scan = jax.jit(self._swap_target(comp_scan))
+        self._build_comp_scan()
 
         batches = list(loader)
         xs = jnp.asarray(np.stack([b[0] for b in batches]))

@@ -135,9 +135,11 @@ class MultiChainTrainer:
                 self.states = self.states.replace(
                     moments=jax.vmap(moments_cls.init_from)(self.states.theta))
 
-    def train_epochs(self, train_loader, epochs: int):
+    def train_epochs(self, train_loader, epochs: int, after_batch=None):
         """Host loop: each chain gets its own reshuffled pass over the data
-        (the loader is iterated n_chain times per epoch with offset seeds)."""
+        (the loader is iterated n_chain times per epoch with offset seeds).
+        `after_batch(ep)` is a host hook fired after each step (cycle
+        bookkeeping for cyclical methods)."""
         for ep in range(epochs):
             self._epoch_begin_chains(ep)
             losses = []
@@ -149,11 +151,21 @@ class MultiChainTrainer:
                 self.runner.bi = self.bi  # keep thinning bookkeeping aligned
                 loss_c, _ = self.step(x, y, scalars)
                 losses.append(loss_c)
+                if after_batch is not None:
+                    after_batch(ep)
             # fence before yielding: the caller may launch a different
             # collective-bearing program (eval), and overlapping in-flight
             # collectives deadlock XLA:CPU's rendezvous
             jax.block_until_ready(self.states)
             yield ep, float(jnp.mean(jnp.stack(losses)))
+
+    def reset_cycle_moments(self):
+        """Zero every chain's moment accumulators (cyclical cycle start)."""
+        moments_cls = type(self.states.moments)
+        dim = self.states.theta.shape[1]
+        fresh = jax.vmap(lambda _: moments_cls.zeros(dim))(
+            jnp.arange(self.n_chain))
+        self.states = self.states.replace(moments=fresh)
 
     # ---- combined predictive ------------------------------------------------
 

@@ -12,11 +12,11 @@ carries `moments`) with:
 This is the new TPU capability with no reference analog (the reference is
 single-device, single-chain — SURVEY.md §2.4): BASELINE.md config 5.
 
-Round-1 limitation: for the cyclical methods the multi-chain path runs the
-sampler (with phase-synchronised schedules) and the combined Gaussian
-predictive over in-state moments, but does NOT yet execute the per-cycle
-host machinery (cycle snapshots / GMM weights) per chain — single-chain
-runners provide that.
+For cyclical methods the full per-cycle machinery runs PER CHAIN: cycle
+snapshots, full-train likelihoods (vmapped across chains in one dispatch per
+MC sample), per-chain GMM weights, and a chains-x-cycles mixture predictive
+(BASELINE.md config 5: "cSGHMC chains sharded over the pod with synced
+cyclical phase").
 """
 
 from __future__ import annotations
@@ -42,21 +42,32 @@ class MultiChainRunner:
         self.cfg = runner.cfg
         self.results = {}
         self._jit_pred = None  # built on first evaluate (needs nst)
+        self._is_cyclical = False
+        self.chain_cycle_stats = []
 
     def train(self, train_loader, val_loader, test_loader, start_epoch=0):
         cfg, logger = self.cfg, self.logger
-        if hasattr(self.runner, "_ensure_sched"):
+        self._is_cyclical = hasattr(self.runner, "_ensure_sched")
+        if self._is_cyclical:
             self.runner._ensure_sched(len(train_loader))
             self.runner._loaders = (train_loader, val_loader, test_loader)
+            # per-chain GMM registries: chain -> cycle -> stats
+            self.chain_cycle_stats = [dict() for _ in
+                                      range(self.trainer.n_chain)]
+            self._train_loader = train_loader
         logger.info("Start multi-chain training: %d chains x %d data shards",
                     self.trainer.n_chain, self.trainer.n_data)
         best_loss = np.inf
         tic0 = time.time()
+        after_batch = self._cyclical_after_batch if self._is_cyclical else None
         for ep, loss in self.trainer.train_epochs(train_loader,
-                                                  cfg.epochs):
+                                                  cfg.epochs,
+                                                  after_batch=after_batch):
             logger.info("[Epoch %d/%d] multi-chain mean loss = %.4f",
                         ep, cfg.epochs, loss)
-            if ep % cfg.test_eval_freq == 0 and self.runner.eval_ready(ep):
+            ready = (any(self.chain_cycle_stats)
+                     if self._is_cyclical else self.runner.eval_ready(ep))
+            if ep % cfg.test_eval_freq == 0 and ready:
                 pack = self.evaluate(test_loader)
                 logger.info("(Epoch %d) Combined-chain test: loss = %.4f, "
                             "err = %.4f", ep, pack[0], pack[1])
@@ -74,6 +85,102 @@ class MultiChainRunner:
         self.results["total_time"] = time.time() - tic0
         self.save_ckpt(cfg.epochs - 1)
         return self.results
+
+    # ---- per-chain cyclical (GMM) machinery --------------------------------
+
+    def _cyclical_after_batch(self, ep: int):
+        """Cycle-boundary bookkeeping, vmapped over chains: snapshot each
+        chain's per-cycle moments, compute per-chain full-train likelihoods,
+        reset accumulators (single-chain analog:
+        methods/cyclical_base.py::_end_of_cycle)."""
+        r = self.runner
+        step = self.trainer.bi - 1
+        if not r.sched.last_in_cycle_py(step):
+            return
+        cycle = r.sched.cycle_number_py(step)
+        tr = self.trainer
+        jax.block_until_ready(tr.states)
+        means, vars_ = tr.chain_mean_vars()
+        means = np.asarray(jax.device_get(means))
+        vars_ = np.asarray(jax.device_get(vars_))
+        thetas = np.asarray(jax.device_get(tr.states.theta))
+        ns_cnt = np.asarray(jax.device_get(
+            getattr(tr.states.moments, "cnt",
+                    getattr(tr.states.moments, "n"))))
+        liks = self._chain_likelihoods(thetas, vars_, ns_cnt)
+        for c in range(tr.n_chain):
+            self.chain_cycle_stats[c][cycle] = {
+                "mean": means[c], "var": vars_[c], "n": int(ns_cnt[c]),
+                "likelihoods": liks[c],
+            }
+        self.logger.info(
+            "Completed cycle %d on %d chains (mean likelihood %.3e)",
+            cycle, tr.n_chain, float(np.mean([l.mean() for l in liks])))
+        tr.reset_cycle_moments()
+
+    def _chain_likelihoods(self, thetas, vars_, ns_cnt):
+        """Per-chain full-train likelihoods of nst perturbed samples
+        (vmapped over chains; reference `methods/csgld.py:508-562`)."""
+        r = self.runner
+        nst = max(1, r.nst)
+        batches = list(self._train_loader)
+        xs = jnp.asarray(np.stack([b[0] for b in batches]))
+        ys = jnp.asarray(np.stack([b[1] for b in batches]))
+        vs = jnp.asarray(np.stack([b[2] for b in batches]))
+        cnt = float(np.sum([b[2].sum() for b in batches]))
+
+        if getattr(self, "_jit_chain_lik", None) is None:
+            def chain_lik(tgt, ns, thetas, vars_, use_noise, key, xs, ys, vs):
+                saved = r.target
+                r.target = tgt
+                try:
+                    def one_chain(theta, var, ck):
+                        eps = jax.random.normal(ck, theta.shape)
+                        theta_s = theta + use_noise * jnp.sqrt(var) * eps
+
+                        def body(tot, inp):
+                            x, y, v = inp
+                            logits, _ = r.target.forward(
+                                theta_s, ns, x, train=False)
+                            logp = jax.nn.log_softmax(logits, axis=-1)
+                            picked = jnp.take_along_axis(
+                                logp, y[:, None].astype(jnp.int32),
+                                axis=1)[:, 0]
+                            return tot + jnp.sum(-picked * v), None
+
+                        tot, _ = jax.lax.scan(body, jnp.zeros(()),
+                                              (xs, ys, vs))
+                        return tot
+
+                    keys = jax.random.split(key, thetas.shape[0])
+                    return jax.vmap(one_chain)(thetas, vars_, keys)
+                finally:
+                    r.target = saved
+            self._jit_chain_lik = jax.jit(chain_lik)
+
+        liks = np.zeros((self.trainer.n_chain, nst))
+        for s in range(nst):
+            use_noise = 1.0 if (r.nst > 0 and (ns_cnt > 1).all()) else 0.0
+            key = jax.random.fold_in(r.eval_key, 77_000 + s)
+            tot_c = self._jit_chain_lik(
+                r.target, r.net_state, jnp.asarray(thetas),
+                jnp.asarray(vars_), jnp.asarray(use_noise), key, xs, ys, vs)
+            liks[:, s] = np.exp(-np.asarray(tot_c) / cnt)
+        return [liks[c] for c in range(self.trainer.n_chain)]
+
+    def gmm_weights_per_chain(self):
+        """Per-chain GMM weights w_c = 1/mean(1/p), normalised within each
+        chain (reference `methods/csgld.py:565-594`)."""
+        out = []
+        for stats in self.chain_cycle_stats:
+            w = {}
+            for cyc, st in stats.items():
+                lik = np.maximum(st["likelihoods"], 1e-300)
+                w[cyc] = 1.0 / np.mean(1.0 / lik)
+            tot = sum(w.values())
+            out.append({c: v / tot for c, v in w.items()} if tot > 0 else
+                       {c: 1.0 / len(w) for c in w})
+        return out
 
     def save_ckpt(self, ep: int, fname: str = "chains_ckpt.pkl"):
         """Persist the stacked per-chain sampler states + net_states."""
@@ -96,6 +203,59 @@ class MultiChainRunner:
         return path
 
     def evaluate(self, loader):
+        if self._is_cyclical and any(self.chain_cycle_stats):
+            return self._gmm_evaluate(loader)
+        return self._gaussian_evaluate(loader)
+
+    def _gmm_evaluate(self, loader):
+        """Chains-x-cycles mixture: within each chain the reference's GMM
+        weights over cycles; across chains an equal-weight mixture (chains
+        are exchangeable posterior explorations)."""
+        from scipy.special import logsumexp as sp_logsumexp
+        r = self.runner
+        weights = self.gmm_weights_per_chain()
+        comps = []  # (chain, cycle, weight/n_chain)
+        for c, w in enumerate(weights):
+            for cyc, wv in sorted(w.items()):
+                if wv >= 1e-10:
+                    comps.append((c, cyc, wv / self.trainer.n_chain))
+
+        batches = list(loader)
+        xs = jnp.asarray(np.stack([b[0] for b in batches]))
+        comp_outs = []
+        for (c, cyc, w) in comps:
+            st = self.chain_cycle_stats[c][cyc]
+            if getattr(r, "_jit_comp_scan", None) is None:
+                r._build_comp_scan()
+            # reuse the single-chain scanned component pass
+            la_nb = np.asarray(r._jit_comp_scan(
+                r.target, jnp.asarray(st["mean"]), jnp.asarray(st["var"]),
+                r.net_state, xs, jnp.asarray(1000 * c + cyc, jnp.int32)))
+            comp_outs.append((w, la_nb))
+
+        loss_sum, err_sum, n = 0.0, 0.0, 0.0
+        targets, logits_list = [], []
+        for i, (x, y, valid) in enumerate(batches):
+            mix = None
+            for w, la_nb in comp_outs:
+                la = la_nb[i]  # [S, B, K]
+                if r.nst == 0:
+                    comp = la[0]
+                else:
+                    comp = np.asarray(base.combine_mc_logits(jnp.asarray(la)))
+                mix = w * comp if mix is None else mix + w * comp
+            logp = mix - sp_logsumexp(mix, axis=-1, keepdims=True)
+            picked = logp[np.arange(len(y)), y]
+            loss_sum += float(np.sum(-picked * valid))
+            err_sum += float(np.sum((np.argmax(mix, -1) != y) * valid))
+            nv = int(valid.sum())
+            n += nv
+            targets.append(np.asarray(y)[:nv])
+            logits_list.append(mix[:nv])
+        return (loss_sum / n, err_sum / n, np.concatenate(targets),
+                np.concatenate(logits_list))
+
+    def _gaussian_evaluate(self, loader):
         nst = max(1, self.runner.nst)
         loss_sum, err_sum, n = 0.0, 0.0, 0.0
         targets, logits_list = [], []
