@@ -175,6 +175,10 @@ def main(argv=None):
 
     start_epoch = 0
     if args.resume is not None:
+        if not hasattr(runner, "load_ckpt"):
+            raise SystemExit(
+                "--resume is not supported with --num_chains > 1 yet; "
+                "resume the single-chain runner or restart the chains")
         start_epoch = runner.load_ckpt(args.resume) + 1
         logger.info("Resumed from %s at epoch %d", args.resume, start_epoch)
 

@@ -74,13 +74,17 @@ class Config:
 
     def run_name(self) -> str:
         """Results-dir naming encoding the config
-        (reference `demo_mnist.py:92-98`)."""
+        (reference `demo_mnist.py:92-98`).  Cached: the timestamp component
+        must not change between calls within one run."""
+        if getattr(self, "_run_name", None) is not None:
+            return self._run_name
         hp = "_".join(f"{k}{v}" for k, v in sorted(self.hparams.items()))
         pretr = 0 if self.pretrained is None else 1
         stamp = time.strftime("%Y%m%d_%H%M%S")
-        return (
+        self._run_name = (
             f"{self.dataset}_val_heldout{self.val_heldout}/{self.backbone}/"
             f"{self.method}_{hp}_pretr{pretr}/"
             f"ep{self.epochs}_bs{self.batch_size}_lr{self.lr}_lrh{self.lr_head}"
             f"_mo{self.momentum}/seed{self.seed}_{stamp}"
         )
+        return self._run_name

@@ -87,7 +87,11 @@ class BaseRunner:
     def __init__(self, target, theta_init, net_state, cfg, logger=None,
                  workdir: Optional[str] = None):
         self.target = target
-        self.net_state = net_state or {}
+        # deep-copy mutable inputs: the train step DONATES state and
+        # net_state buffers, and donation must never invalidate the
+        # caller's arrays (or a sibling runner sharing them)
+        self.net_state = jax.tree.map(
+            lambda a: jnp.array(a, copy=True), net_state or {})
         self.cfg = cfg
         self.logger = logger or _LOG
         self.workdir = workdir
@@ -102,7 +106,8 @@ class BaseRunner:
         self.base_key = jax.random.PRNGKey(cfg.seed)
         self.train_key, self.eval_key = jax.random.split(self.base_key)
 
-        self.state = self.init_state(jnp.asarray(theta_init, jnp.float32))
+        self.state = self.init_state(
+            jnp.array(theta_init, jnp.float32, copy=True))
         self.bi = 0  # global batch iteration counter (reference `sgld.py:86`)
         # the step carries (sampler state, net_state): net_state holds
         # mutable model collections (BatchNorm batch_stats), threaded through
@@ -510,6 +515,7 @@ class BaseRunner:
             "method": self.method_name,
             "prior_sig": self.prior_sig,
             "state": jax.tree.map(np.asarray, self.state),
+            "net_state": jax.tree.map(np.asarray, self.net_state),
             **self.extra_ckpt(),
         }
         with open(path, "wb") as f:
@@ -523,5 +529,9 @@ class BaseRunner:
         self.state = jax.tree.map(
             jnp.asarray, payload["state"],
             is_leaf=lambda x: isinstance(x, np.ndarray))
+        if "net_state" in payload:  # BatchNorm running stats etc.
+            self.net_state = jax.tree.map(
+                jnp.asarray, payload["net_state"],
+                is_leaf=lambda x: isinstance(x, np.ndarray))
         self.bi = payload.get("bi", 0)
         return payload["epoch"]

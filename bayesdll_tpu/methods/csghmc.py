@@ -8,7 +8,9 @@ fused pass over the flat vector (reference loops tensors in Python,
                                            ignoring theta0 — the reference's
                                            deliberate deviation, `:759-762`)
     v      <- (1-alpha) v - lr_elem * grad_U
-              + [nd * sqrt(2*alpha*lr)/N * eps  if in sampling phase]
+              + [nd * sqrt(2*alpha*lr)/N * eps  on sampling steps
+                 (exploitation phase AND thinning stride, reference
+                 `methods/csghmc.py:272-276`)]
     theta  <- theta + v                   (direct write; no optimizer.step,
                                            reference `:778`, `:304`)
 

@@ -92,15 +92,16 @@ class CyclicalRunnerBase(base.BaseRunner):
         step = self.bi
         bpe = s.batches_per_epoch
         batch_idx = step % bpe
-        should_sample = s.should_sample_py(step)
-        # Reference collects when in exploitation AND the *within-epoch*
-        # batch index hits the thinning stride
-        # (reference `methods/csgld.py:221-225`).
-        collect = should_sample and (batch_idx % self.thin == 0)
+        # Reference combines exploitation phase AND the within-epoch
+        # thinning stride into ONE flag that gates both sample collection
+        # and (for cSGHMC) noise injection
+        # (reference `methods/csghmc.py:272-276` -> `:768-772`,
+        # `methods/csgld.py:221-225`).
+        should_sample = s.should_sample_py(step) and             (batch_idx % self.thin == 0)
         return {
             "lr": s.lr_py(step),
             "should_sample": should_sample,
-            "collect": collect,
+            "collect": should_sample,
         }
 
     def cyclical_lr_vec(self, lr_t):
@@ -117,10 +118,10 @@ class CyclicalRunnerBase(base.BaseRunner):
         if s is None:
             return None
         lr = s.lr(bi)
-        ss = s.should_sample(jnp.asarray(bi))
         batch_idx = jnp.mod(bi, s.batches_per_epoch)
-        collect = jnp.logical_and(ss, jnp.mod(batch_idx, self.thin) == 0)
-        return {"lr": lr, "should_sample": ss, "collect": collect}
+        ss = jnp.logical_and(s.should_sample(jnp.asarray(bi)),
+                             jnp.mod(batch_idx, self.thin) == 0)
+        return {"lr": lr, "should_sample": ss, "collect": ss}
 
     def segment_ends(self, ep: int, n_steps: int):
         """Cut fused segments at cycle boundaries so the host-side cycle-end
@@ -320,15 +321,19 @@ class CyclicalRunnerBase(base.BaseRunner):
         self._build_comp_scan()
 
         batches = list(loader)
-        xs = jnp.asarray(np.stack([b[0] for b in batches]))
+        per_batch = batches[0][0].nbytes
+        chunk = max(1, (256 * 1024 * 1024) // per_batch)
+        xs_chunks = [jnp.asarray(np.stack([b[0] for b in part]))
+                     for part in (batches[i:i + chunk]
+                                  for i in range(0, len(batches), chunk))]
         comp_las = []  # per component: [NB, S, B, K] numpy
         for c, w in comps:
-            la_nb = self._jit_comp_scan(
+            parts = [np.asarray(self._jit_comp_scan(
                 self.target,
                 jnp.asarray(self.cycle_stats[c]["mean"]),
-                jnp.asarray(self.cycle_stats[c]["var"]), self.net_state, xs,
-                jnp.asarray(c, jnp.int32))
-            comp_las.append(np.asarray(la_nb))
+                jnp.asarray(self.cycle_stats[c]["var"]), self.net_state,
+                xs_c, jnp.asarray(c, jnp.int32))) for xs_c in xs_chunks]
+            comp_las.append(np.concatenate(parts, axis=0))
 
         # mixture on host (reference `methods/csgld.py:415-431`): component
         # output is the MC-averaged log-prob vector (raw logits when nst=0),
@@ -385,12 +390,20 @@ class CyclicalRunnerBase(base.BaseRunner):
             self._jit_point_scan = jax.jit(self._swap_target(point_scan))
 
         batches = list(loader)
-        xs = jnp.asarray(np.stack([b[0] for b in batches]))
-        ys = jnp.asarray(np.stack([b[1] for b in batches]))
-        vs = jnp.asarray(np.stack([b[2] for b in batches]))
-        logits_nb, ls, es = self._jit_point_scan(
-            self.target, theta, self.net_state, xs, ys, vs)
-        logits_nb = np.asarray(logits_nb)
+        per_batch = batches[0][0].nbytes + batches[0][1].nbytes
+        chunk = max(1, (256 * 1024 * 1024) // per_batch)
+        logits_parts, ls, es = [], 0.0, 0.0
+        for i0 in range(0, len(batches), chunk):
+            part = batches[i0:i0 + chunk]
+            xs = jnp.asarray(np.stack([b[0] for b in part]))
+            ys = jnp.asarray(np.stack([b[1] for b in part]))
+            vs = jnp.asarray(np.stack([b[2] for b in part]))
+            lp, ls_c, es_c = self._jit_point_scan(
+                self.target, theta, self.net_state, xs, ys, vs)
+            logits_parts.append(np.asarray(lp))
+            ls += float(ls_c)
+            es += float(es_c)
+        logits_nb = np.concatenate(logits_parts, axis=0)
         n = float(np.sum([b[2].sum() for b in batches]))
         targets, logits_list, logits_all_list = [], [], []
         for i, (x, y, valid) in enumerate(batches):
@@ -398,7 +411,7 @@ class CyclicalRunnerBase(base.BaseRunner):
             targets.append(np.asarray(y)[:nv])
             logits_list.append(logits_nb[i][:nv])
             logits_all_list.append(logits_nb[i][:nv, None, :])
-        return (float(ls) / n, float(es) / n, np.concatenate(targets),
+        return (ls / n, es / n, np.concatenate(targets),
                 np.concatenate(logits_list), np.concatenate(logits_all_list))
 
     def extra_ckpt(self):

@@ -120,7 +120,9 @@ class Runner(base.BaseRunner):
                 logger.info("(Epoch %d) MAP eval: loss = %.4f, err = %.4f",
                             ep, vloss, verr)
                 if vloss < best_loss:
-                    best_loss, best_theta = vloss, self.state.theta
+                    # copy: state.theta's buffer is donated by the next step
+                    best_loss = vloss
+                    best_theta = self.state.theta * 1.0
                     logger.info("Best MAP loss so far @epoch %d: %.4f", ep, vloss)
 
         self.map_theta = best_theta if best_theta is not None else self.state.theta

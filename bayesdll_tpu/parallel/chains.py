@@ -135,20 +135,21 @@ class MultiChainTrainer:
                 self.states = self.states.replace(
                     moments=jax.vmap(moments_cls.init_from)(self.states.theta))
 
-    def train_epochs(self, train_loader, epochs: int, after_batch=None):
+    def train_epochs(self, train_loader, epochs: int, after_batch=None,
+                     start_epoch: int = 0):
         """Host loop: each chain gets its own reshuffled pass over the data
         (the loader is iterated n_chain times per epoch with offset seeds).
         `after_batch(ep)` is a host hook fired after each step (cycle
         bookkeeping for cyclical methods)."""
-        for ep in range(epochs):
+        for ep in range(start_epoch, epochs):
             self._epoch_begin_chains(ep)
             losses = []
             batches = [list(train_loader) for _ in range(self.n_chain)]
             for bi in range(len(batches[0])):
                 x = np.stack([batches[c][bi][0] for c in range(self.n_chain)])
                 y = np.stack([batches[c][bi][1] for c in range(self.n_chain)])
+                self.runner.bi = self.bi  # sync BEFORE computing scalars
                 scalars = self.runner.step_scalars(ep)
-                self.runner.bi = self.bi  # keep thinning bookkeeping aligned
                 loss_c, _ = self.step(x, y, scalars)
                 losses.append(loss_c)
                 if after_batch is not None:

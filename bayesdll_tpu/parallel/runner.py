@@ -62,7 +62,8 @@ class MultiChainRunner:
         after_batch = self._cyclical_after_batch if self._is_cyclical else None
         for ep, loss in self.trainer.train_epochs(train_loader,
                                                   cfg.epochs,
-                                                  after_batch=after_batch):
+                                                  after_batch=after_batch,
+                                                  start_epoch=start_epoch):
             logger.info("[Epoch %d/%d] multi-chain mean loss = %.4f",
                         ep, cfg.epochs, loss)
             ready = (any(self.chain_cycle_stats)
@@ -124,9 +125,14 @@ class MultiChainRunner:
         r = self.runner
         nst = max(1, r.nst)
         batches = list(self._train_loader)
-        xs = jnp.asarray(np.stack([b[0] for b in batches]))
-        ys = jnp.asarray(np.stack([b[1] for b in batches]))
-        vs = jnp.asarray(np.stack([b[2] for b in batches]))
+        per_batch = batches[0][0].nbytes + batches[0][1].nbytes
+        chunk = max(1, (256 * 1024 * 1024) // per_batch)
+        chunks = []
+        for i0 in range(0, len(batches), chunk):
+            part = batches[i0:i0 + chunk]
+            chunks.append((jnp.asarray(np.stack([b[0] for b in part])),
+                           jnp.asarray(np.stack([b[1] for b in part])),
+                           jnp.asarray(np.stack([b[2] for b in part]))))
         cnt = float(np.sum([b[2].sum() for b in batches]))
 
         if getattr(self, "_jit_chain_lik", None) is None:
@@ -162,10 +168,13 @@ class MultiChainRunner:
         for s in range(nst):
             use_noise = 1.0 if (r.nst > 0 and (ns_cnt > 1).all()) else 0.0
             key = jax.random.fold_in(r.eval_key, 77_000 + s)
-            tot_c = self._jit_chain_lik(
-                r.target, r.net_state, jnp.asarray(thetas),
-                jnp.asarray(vars_), jnp.asarray(use_noise), key, xs, ys, vs)
-            liks[:, s] = np.exp(-np.asarray(tot_c) / cnt)
+            tot = np.zeros(self.trainer.n_chain)
+            for xs, ys, vs in chunks:
+                tot += np.asarray(self._jit_chain_lik(
+                    r.target, r.net_state, jnp.asarray(thetas),
+                    jnp.asarray(vars_), jnp.asarray(use_noise), key,
+                    xs, ys, vs))
+            liks[:, s] = np.exp(-tot / cnt)
         return [liks[c] for c in range(self.trainer.n_chain)]
 
     def gmm_weights_per_chain(self):

@@ -48,3 +48,43 @@ def test_ckpt_roundtrip_and_identical_continuation(tmp_path):
     np.testing.assert_allclose(np.asarray(r2.state.theta),
                                np.asarray(r1.state.theta),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_ckpt_restores_batch_stats(tmp_path):
+    """net_state (BatchNorm running stats) must round-trip through
+    checkpoints — resuming must not silently reset them."""
+    import jax
+    import jax.numpy as jnp
+    from bayesdll_tpu.config import Config
+    from bayesdll_tpu.core.prior import make_flat_target
+    from bayesdll_tpu.models.resnet import ResNet
+
+    model = ResNet(stage_sizes=(1, 1, 1, 1), num_classes=5)
+    cfg = Config(method="sgld", dataset="synthetic", backbone="resnet_mini",
+                 epochs=1, batch_size=4, lr=1e-3,
+                 hparams={"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.0",
+                          "burnin": "0", "thin": "1", "bias": "informative",
+                          "nst": "0"})
+    target, theta_init, net_state = make_flat_target(
+        model, (32, 32, 3), nd_size=64, num_classes=5,
+        rng=jax.random.PRNGKey(0), has_batch_stats=True)
+    from bayesdll_tpu.methods import get_runner_cls
+    r1 = get_runner_cls("sgld")(target, theta_init, net_state, cfg,
+                                workdir=str(tmp_path))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 32, 32, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 5, 4).astype(np.int32))
+    r1.state, r1.net_state, _ = r1._jit_step(
+        r1.target, r1.state, r1.net_state, x, y, jax.random.PRNGKey(0),
+        {"collect": False})
+    r1.save_ckpt(0)
+
+    r2 = get_runner_cls("sgld")(target, theta_init, net_state, cfg,
+                                workdir=str(tmp_path))
+    r2.load_ckpt(str(tmp_path / "ckpt.pkl"))
+    a = np.asarray(jax.tree.leaves(r1.net_state["batch_stats"])[0])
+    b = np.asarray(jax.tree.leaves(r2.net_state["batch_stats"])[0])
+    np.testing.assert_array_equal(a, b)
+    # and the restored stats differ from fresh init (they actually updated)
+    c = np.asarray(jax.tree.leaves(net_state["batch_stats"])[0])
+    assert np.abs(a - c).max() > 0
