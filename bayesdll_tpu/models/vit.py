@@ -136,6 +136,7 @@ def _vit_l_32(num_classes: int = 1000, **kw):
 def _vit_b_16(num_classes: int = 1000, **kw):
     model = ViT(patch=16, dim=768, depth=12, heads=12, mlp_dim=3072,
                 image_size=224, num_classes=num_classes,
-                dtype=kw.get("dtype", "float32"))
+                dtype=kw.get("dtype", "float32"),
+                remat=bool(kw.get("remat", False)))
     return model, (224, 224, 3), {"has_batch_stats": False,
                                   "has_dropout": False}

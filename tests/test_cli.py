@@ -53,3 +53,22 @@ def test_pretrain_cli_default_hparams(tmp_path):
         "bias=informative,nst=2,momentum_decay=0.05",
     ])
     assert "nll" in results
+
+
+def test_demo_cli_cnn_backbone(tmp_path):
+    """cnn_mnist backbone end-to-end (BASELINE.md config 3's 'MNIST CNN')."""
+    results = demo.main([
+        "--method", "csghmc",
+        "--dataset", "synthetic",
+        "--backbone", "cnn_mnist",
+        "--epochs", "2",
+        "--batch_size", "64",
+        "--lr", "2e-2",
+        "--num_cycles", "2",
+        "--log_dir", str(tmp_path),
+        "--hparams",
+        "prior_sig=0.05,Ninflate=1.0,nd=0.01,thin=2,bias=informative,"
+        "nst=2,momentum_decay=0.05",
+    ])
+    assert "nll" in results
+    assert results["test_err"] < 0.6
