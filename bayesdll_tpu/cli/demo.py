@@ -118,12 +118,29 @@ def build_all(cfg, logger):
     runner = runner_cls(target, theta_init, net_state, cfg, logger=logger,
                         workdir=workdir)
 
-    if cfg.num_chains > 1:
-        # chain-parallel training over a ('chain','data') mesh — new TPU
-        # capability (BASELINE.md config 5; no reference analog)
+    if hasattr(runner, "set_reinit_fn"):
+        # Cold restarts: fresh weight re-initialisation at cycle boundaries
+        # when hparam perform_cold_restarts=1 (reference
+        # `methods/adam_csghmc.py:49-53,102-130` re-inits per layer type;
+        # here the backbone's own flax initialisers provide the fresh start).
+        import jax.numpy as jnp
+        from bayesdll_tpu.core import flat as flat_util
+        x0 = jnp.zeros((1,) + tuple(input_shape), jnp.float32)
+
+        def reinit_fn(key):
+            fresh = model.init(key, x0, train=False)["params"]
+            theta, _ = flat_util.flatten_params(fresh)
+            return theta
+
+        runner.set_reinit_fn(reinit_fn)
+
+    data_parallel = (cfg.mesh_shape or {}).get("data", 1)
+    if cfg.num_chains > 1 or data_parallel > 1:
+        # sharded training over a ('chain','data') mesh — new TPU capability
+        # (BASELINE.md config 5; no reference analog).  num_chains=1 with
+        # --data_parallel N gives pure in-chain batch sharding over N chips.
         from bayesdll_tpu.parallel import make_mesh
         from bayesdll_tpu.parallel.runner import MultiChainRunner
-        data_parallel = (cfg.mesh_shape or {}).get("data", 1)
         mesh = make_mesh(cfg.num_chains, data_parallel)
         runner = MultiChainRunner(runner, mesh, logger=logger,
                                   workdir=workdir,
@@ -175,10 +192,8 @@ def main(argv=None):
 
     start_epoch = 0
     if args.resume is not None:
-        if not hasattr(runner, "load_ckpt"):
-            raise SystemExit(
-                "--resume is not supported with --num_chains > 1 yet; "
-                "resume the single-chain runner or restart the chains")
+        # both single-chain (BaseRunner.load_ckpt) and multi-chain
+        # (MultiChainRunner.load_ckpt) runners support resume
         start_epoch = runner.load_ckpt(args.resume) + 1
         logger.info("Resumed from %s at epoch %d", args.resume, start_epoch)
 

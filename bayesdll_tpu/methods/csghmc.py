@@ -44,6 +44,9 @@ class CSGHMCState(flax.struct.PyTreeNode):
 
 class Runner(CyclicalRunnerBase):
     method_name = "csghmc"
+    # reference evaluates a point estimate on val every 5 epochs even before
+    # the first completed cycle (`methods/csghmc.py:118-128`)
+    periodic_point_eval = True
 
     def __init__(self, target, theta_init, net_state, cfg, **kw):
         self.momentum_decay = float(cfg.hparams.get("momentum_decay", 0.05))

@@ -30,6 +30,16 @@ class Runner(csghmc.Runner):
     def __init__(self, target, theta_init, net_state, cfg, **kw):
         super().__init__(target, theta_init, net_state, cfg, **kw)
         self.full_samples = {}  # epoch -> flat theta (numpy)
+        # collected-models archive (reference `methods/csghmc_fs.py:81-88`
+        # declares this scaffolding; here the metadata is actually populated)
+        self.all_model_metadata = []
+        self.model_counter = 0
+        self.models_dir = None
+        if self.workdir:
+            self.models_dir = os.path.join(self.workdir, "collected_models")
+            os.makedirs(self.models_dir, exist_ok=True)
+            self.logger.info("Model storage directory created at: %s",
+                             self.models_dir)
 
     def _near_cycle_end(self, ep: int) -> bool:
         epc = max(1, self.cfg.epochs // max(1, self.cfg.num_cycles))
@@ -46,6 +56,18 @@ class Runner(csghmc.Runner):
                 with open(path, "wb") as f:
                     pickle.dump(theta_np, f)
                 self.logger.info("Full snapshot saved at %s", path)
+                self.all_model_metadata.append({
+                    "model_id": self.model_counter,
+                    "epoch": ep,
+                    "cycle": self.sched.cycle_number_py(self.bi - 1)
+                    if self.sched is not None else 0,
+                    "path": path,
+                    "num_params": int(theta_np.shape[0]),
+                })
+                self.model_counter += 1
+                with open(os.path.join(self.models_dir,
+                                       "model_metadata.pkl"), "wb") as f:
+                    pickle.dump(self.all_model_metadata, f)
         return out
 
     def train(self, train_loader, val_loader, test_loader, start_epoch=0):

@@ -48,8 +48,9 @@ def _cnn_mnist(num_classes: int = 10, **kw):
 
 def create_backbone(name: str, num_classes: int = 10, **kw) -> Tuple:
     """Build a backbone by registry name (reference `networks/__init__.py:9`)."""
-    if name in ("resnet101", "vit_l_32"):
-        # Imported lazily: these pull in the big-model modules.
+    if name.startswith("resnet") or name.startswith("vit"):
+        # Imported lazily: these pull in the big-model modules.  Covers every
+        # name the modules register (resnet50/resnet101, vit_b_16/vit_l_32).
         from bayesdll_tpu.models import resnet, vit  # noqa: F401
     if name not in _REGISTRY:
         raise NotImplementedError(

@@ -30,6 +30,8 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 
 # ---------------------------------------------------------------- stubs ----
@@ -126,7 +128,40 @@ HPARAMS = {
     "csghmc": {"prior_sig": "0.01", "Ninflate": "1.0", "nd": "0.01",
                "burnin": "0", "thin": "2", "bias": "informative", "nst": "3",
                "momentum_decay": "0.05"},
+    # Adam-preconditioned SGHMC (reference `methods/adam_sghmc.py:483-553`)
+    "adam_sghmc": {"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.05",
+                   "burnin": "2", "thin": "2", "bias": "informative",
+                   "nst": "5", "momentum_decay": "0.05", "beta1": "0.9",
+                   "beta2": "0.999", "epsilon": "1e-8"},
+    # cyclical SGLD with per-cycle moments + GMM predictive
+    # (reference `methods/csgld.py:597-681`)
+    "csgld": {"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.01",
+              "burnin": "0", "thin": "2", "bias": "informative", "nst": "3"},
+    # Adam-cSGHMC: temperature + grad-overwrite + per-cycle resets
+    # (reference `methods/adam_csghmc.py:829-861`)
+    "adam_csghmc": {"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.01",
+                    "burnin": "0", "thin": "2", "bias": "informative",
+                    "nst": "3", "momentum_decay": "0.05", "beta1": "0.9",
+                    "beta2": "0.999", "epsilon": "1e-8",
+                    "temperature": "1.0", "perform_cold_restarts": "false"},
+    # cSGHMC-FS: full-snapshot BMA (reference `methods/csghmc_fs.py:260-418`)
+    "csghmc_fs": {"prior_sig": "0.01", "Ninflate": "1.0", "nd": "0.01",
+                  "burnin": "0", "thin": "2", "bias": "informative",
+                  "nst": "3", "momentum_decay": "0.05"},
+    # diagonal Laplace: 2-stage MAP + per-example Fisher
+    # (reference `methods/la.py:360-393`)
+    "la": {"prior_sig": "1.0", "Ninflate": "1.0", "bias": "informative",
+           "nst": "5"},
 }
+
+# Adam-preconditioned methods drive the default task to exactly-zero error /
+# NLL in a couple of epochs, making the comparison uninformative; give them a
+# harder task (class separation ~5 sigma) and a smaller lr so NLL/ECE are
+# materially nonzero and a formula mismatch would show.  (Separation ~2.5
+# sigma was tried and rejected: neither implementation learns and the
+# metrics are seed noise.)
+DATA_NOISE = {"adam_sghmc": 8.0, "adam_csghmc": 8.0, "csghmc_fs": 8.0}
+LR_OVERRIDE = {"adam_sghmc": 5e-3, "adam_csghmc": 5e-3}
 
 
 # ------------------------------------------------------------- reference ----
@@ -160,7 +195,7 @@ def run_reference(method, train_np, test_np, workdir):
         seed=CONFIG["seed"], log_dir=workdir, test_eval_freq=1,
         device="cpu", ND=len(xtr) - (len(xtr) % CONFIG["batch_size"]),
         use_wandb=False, num_cycles=2, proportion_exploration=0.5,
-        full_sample=False,
+        full_sample=False, clip_grad=None, num_classes=10,
     )
     logger = logging.getLogger(f"ref_{method}")
     logger.addHandler(logging.NullHandler())
@@ -211,13 +246,15 @@ def run_ours(method, train_np, test_np, workdir):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--methods", type=str, default="vanilla,sgld,vi")
+    p.add_argument("--methods", type=str,
+                   default="vanilla,sgld,vi,mc_dropout,sghmc,csghmc,"
+                           "adam_sghmc,csgld,adam_csghmc,csghmc_fs,la")
     args = p.parse_args()
     methods = args.methods.split(",")
 
-    train_np, test_np = make_data()
     rows = []
     for m in methods:
+        train_np, test_np = make_data(noise=DATA_NOISE.get(m, 3.0))
         with tempfile.TemporaryDirectory() as wd_ref, \
                 tempfile.TemporaryDirectory() as wd_ours:
             print(f"=== {m}: reference (torch) ...", flush=True)
