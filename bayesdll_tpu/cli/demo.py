@@ -61,6 +61,13 @@ def parse_args(argv=None):
                         "'data' axis (flat-vector FSDP)")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint path to resume training from")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialise jax.distributed so the mesh spans all "
+                        "hosts (TPU pods auto-detect; CPU tests pass "
+                        "--coordinator/--num_processes/--process_id)")
+    p.add_argument("--coordinator", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler device trace here")
     p.add_argument("--fused_steps", action="store_true",
@@ -150,6 +157,11 @@ def build_all(cfg, logger):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.multihost:
+        # must run before any mesh is built: jax.devices() then spans hosts
+        from bayesdll_tpu.parallel import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
     from bayesdll_tpu.config import Config
 
     cfg = Config(

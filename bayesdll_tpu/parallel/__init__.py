@@ -1,4 +1,4 @@
-from bayesdll_tpu.parallel.mesh import make_mesh
+from bayesdll_tpu.parallel.mesh import init_distributed, make_mesh
 from bayesdll_tpu.parallel.chains import MultiChainTrainer
 
-__all__ = ["make_mesh", "MultiChainTrainer"]
+__all__ = ["init_distributed", "make_mesh", "MultiChainTrainer"]

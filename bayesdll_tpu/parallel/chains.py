@@ -75,14 +75,23 @@ class MultiChainTrainer:
             noise = 0.01 * jax.random.normal(key, st.theta.shape)
             return st.replace(theta=st.theta + noise)
 
-        states = jax.vmap(chain_init)(keys)
+        # When the mesh spans processes (multi-host), committed local arrays
+        # cannot be resharded onto non-addressable shardings; go through host
+        # numpy — every process computes identical values from the same seed,
+        # so device_put assembles a consistent global array.
+        self._multiprocess = any(
+            d.process_index != jax.process_index() for d in mesh.devices.flat)
+        to_host = (lambda t: jax.tree.map(np.asarray, t)) \
+            if self._multiprocess else (lambda t: t)
+
+        states = to_host(jax.vmap(chain_init)(keys))
         self._state_sh = jax.tree.map(state_sharding_for, states)
         self.states = jax.device_put(states, self._state_sh)
         # per-chain mutable model collections (BatchNorm batch_stats):
         # each chain evolves its own running stats
         self.net_states = jax.device_put(
-            jax.tree.map(lambda l: jnp.stack([l] * self.n_chain),
-                         runner.net_state), chain_sh)
+            to_host(jax.tree.map(lambda l: jnp.stack([l] * self.n_chain),
+                                 runner.net_state)), chain_sh)
 
         vstep = jax.vmap(runner._step, in_axes=(0, 0, 0, 0, 0, None))
 
@@ -95,11 +104,14 @@ class MultiChainTrainer:
                 runner.target = saved
 
         rep = NamedSharding(mesh, P())
+        # metric vectors come back REPLICATED (2 scalars/chain all-gather):
+        # every process can read them directly — required for multi-host,
+        # harmless single-host
         self._jit_step = jax.jit(
             vstep_with_target,
             in_shardings=(rep, self._state_sh, chain_sh, batch_sh, batch_sh,
                           chain_sh, None),
-            out_shardings=(self._state_sh, chain_sh, (chain_sh, chain_sh)),
+            out_shardings=(self._state_sh, chain_sh, (rep, rep)),
             donate_argnums=(1, 2),
         )
         self._batch_sh = batch_sh
@@ -117,8 +129,12 @@ class MultiChainTrainer:
             self.runner.step_scalars(0)
         keys = jax.vmap(lambda k: jax.random.fold_in(k, self.bi))(
             self._chain_keys)
-        x = jax.device_put(jnp.asarray(x), self._batch_sh)
-        y = jax.device_put(jnp.asarray(y), self._batch_sh)
+        if self._multiprocess:
+            # identical on every process (same seeds); assemble as a global
+            # array — committed local arrays can't cross process boundaries
+            keys = jax.device_put(np.asarray(keys), self._chain_sh)
+        x = jax.device_put(np.asarray(x), self._batch_sh)
+        y = jax.device_put(np.asarray(y), self._batch_sh)
         self.states, self.net_states, (loss_c, err_c) = self._jit_step(
             self.runner.target, self.states, self.net_states, x, y, keys,
             scalars)
@@ -133,8 +149,13 @@ class MultiChainTrainer:
         if burnin is not None and ep == burnin:
             moments_cls = type(self.states.moments)
             if hasattr(moments_cls, "init_from"):
+                # jitted with the states' own shardings so it runs on the
+                # global mesh and outputs land pre-sharded (multi-host safe:
+                # non-addressable arrays cannot be implicitly resharded)
+                init = jax.jit(jax.vmap(moments_cls.init_from),
+                               out_shardings=self._state_sh.moments)
                 self.states = self.states.replace(
-                    moments=jax.vmap(moments_cls.init_from)(self.states.theta))
+                    moments=init(self.states.theta))
 
     def train_epochs(self, train_loader, epochs: int, after_batch=None,
                      start_epoch: int = 0):

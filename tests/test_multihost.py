@@ -1,0 +1,85 @@
+"""Multi-host execution path (SURVEY.md §5.8; VERDICT r1 missing #4):
+2 local processes x 4 virtual CPU devices each run a chain-sharded sampler
+step over one GLOBAL ('chain','data') mesh, collectives riding Gloo/TCP —
+the CPU stand-in for a multi-host TPU pod with DCN."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from bayesdll_tpu.parallel import init_distributed, make_mesh
+init_distributed(f"127.0.0.1:{port}", nproc, pid)
+assert jax.process_count() == nproc
+assert len(jax.devices()) == 8, len(jax.devices())   # global device view
+
+import numpy as np
+from bayesdll_tpu.config import Config
+from bayesdll_tpu.core.prior import make_flat_target
+from bayesdll_tpu.methods import get_runner_cls
+from bayesdll_tpu.models import create_backbone
+from bayesdll_tpu.parallel import MultiChainTrainer
+
+cfg = Config(method="sgld", dataset="synthetic", backbone="mlp_mnist",
+             epochs=1, batch_size=32, lr=1e-2,
+             hparams={"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.1",
+                      "burnin": "0", "thin": "1", "bias": "informative",
+                      "nst": "2"})
+model, shape, _ = create_backbone("mlp_mnist", num_classes=10, width=16,
+                                  depth=2)
+target, theta_init, net_state = make_flat_target(
+    model, (784,), nd_size=256, num_classes=10, rng=jax.random.PRNGKey(0))
+runner = get_runner_cls("sgld")(target, theta_init, net_state, cfg)
+
+mesh = make_mesh(2, 4)   # 2 chains x 4 data shards ACROSS the 2 processes
+trainer = MultiChainTrainer(runner, mesh)
+trainer._epoch_begin_chains(0)
+
+rng = np.random.RandomState(0)   # identical global batches on each process
+for step in range(3):
+    x = rng.randn(2, 32, 784).astype(np.float32)
+    y = rng.randint(0, 10, (2, 32)).astype(np.int32)
+    loss_c, err_c = trainer.step(x, y, runner.step_scalars(0))
+    print(f"STEP {step} pid {pid} loss {np.asarray(loss_c).tolist()}",
+          flush=True)
+print(f"DONE pid {pid}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_chain_sharded_step(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    wfile = tmp_path / "worker.py"
+    wfile.write_text(WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = "/root/repo" + (
+        ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(wfile), str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd="/root/repo") for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+    # both processes observed the identical replicated per-chain losses
+    lines0 = [l for l in outs[0].splitlines() if l.startswith("STEP")]
+    lines1 = [l for l in outs[1].splitlines() if l.startswith("STEP")]
+    assert len(lines0) == 3 and len(lines1) == 3
+    for l0, l1 in zip(lines0, lines1):
+        assert l0.split("pid 0")[-1] == l1.split("pid 1")[-1], (l0, l1)
+    assert "DONE pid 0" in outs[0] and "DONE pid 1" in outs[1]
