@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bayesdll_tpu.methods import csghmc
+from bayesdll_tpu.methods.cyclical_base import scipy_logsumexp
 
 SNAPSHOT_EPOCHS_PER_CYCLE = 3  # reference: last ~3 epochs of each cycle
 
@@ -82,45 +83,65 @@ class Runner(csghmc.Runner):
 
     def evaluate_full_samples(self, train_loader, val_loader, test_loader):
         """BMA over saved snapshots: average logits across models
-        (reference `methods/csghmc_fs.py:260-418`)."""
+        (reference `methods/csghmc_fs.py:260-418`).
+
+        TPU structure: streaming windows of batches (memory O(window)), each
+        window one scanned dispatch PER MODEL (not per batch x model — the
+        reference's per-batch torch loop pays host latency every batch)."""
+        from bayesdll_tpu.data.stream import window_batches
         logger = self.logger
         logger.info("Evaluating %d full snapshots (BMA)...",
                     len(self.full_samples))
 
-        @jax.jit
-        def fwd(theta, x):
-            logits, _ = self.target.forward(theta, self.net_state, x,
-                                            train=False)
-            return logits
-
-        def eval_split(loader):
-            per_model = {ep: {"loss": 0.0, "err": 0.0} for ep in self.full_samples}
-            ens_loss, ens_err, n = 0.0, 0.0, 0.0
-            ens_logits_chunks, targets_chunks = [], []
-            for x, y, valid in loader:
-                x_j = jnp.asarray(x)
-                y_j = jnp.asarray(y)
-                v = jnp.asarray(valid)
-                nv = int(valid.sum())
-                acc = None
-                for ep, theta in self.full_samples.items():
-                    logits = fwd(jnp.asarray(theta), x_j)
+        if getattr(self, "_jit_fs_scan", None) is None:
+            def fs_scan(theta, ns, xs, ys, vs):
+                def body(carry, inp):
+                    x, y, v = inp
+                    logits, _ = self.target.forward(theta, ns, x, train=False)
                     logp = jax.nn.log_softmax(logits, axis=-1)
                     picked = jnp.take_along_axis(
-                        logp, y_j[:, None].astype(jnp.int32), axis=1)[:, 0]
-                    per_model[ep]["loss"] += float(jnp.sum(-picked * v))
-                    per_model[ep]["err"] += float(
-                        jnp.sum((jnp.argmax(logits, -1) != y_j) * v))
-                    acc = logits if acc is None else acc + logits
-                ens = acc / float(len(self.full_samples))
-                logp = jax.nn.log_softmax(ens, axis=-1)
-                picked = jnp.take_along_axis(
-                    logp, y_j[:, None].astype(jnp.int32), axis=1)[:, 0]
-                ens_loss += float(jnp.sum(-picked * v))
-                ens_err += float(jnp.sum((jnp.argmax(ens, -1) != y_j) * v))
-                n += nv
-                ens_logits_chunks.append(np.asarray(ens)[:nv])
-                targets_chunks.append(np.asarray(y)[:nv])
+                        logp, y[:, None].astype(jnp.int32), axis=1)[:, 0]
+                    ls, es = carry
+                    ls = ls + jnp.sum(-picked * v)
+                    es = es + jnp.sum(
+                        (jnp.argmax(logits, -1) != y).astype(jnp.float32) * v)
+                    return (ls, es), logits
+                (ls, es), logits_nb = jax.lax.scan(
+                    body, (jnp.zeros(()), jnp.zeros(())), (xs, ys, vs))
+                return logits_nb, ls, es
+            self._jit_fs_scan = jax.jit(self._swap_target(fs_scan))
+
+        eps_sorted = sorted(self.full_samples)
+
+        def eval_split(loader):
+            per_model = {ep: {"loss": 0.0, "err": 0.0} for ep in eps_sorted}
+            ens_loss, ens_err, n = 0.0, 0.0, 0.0
+            ens_logits_chunks, targets_chunks = [], []
+            for xs, ys, vs in window_batches(loader):
+                xs_j = jnp.asarray(xs)
+                ys_j = jnp.asarray(ys)
+                vs_j = jnp.asarray(vs)
+                acc = None
+                for ep in eps_sorted:
+                    logits_nb, ls, es = self._jit_fs_scan(
+                        self.target, jnp.asarray(self.full_samples[ep]),
+                        self.net_state, xs_j, ys_j, vs_j)
+                    per_model[ep]["loss"] += float(ls)
+                    per_model[ep]["err"] += float(es)
+                    acc = logits_nb if acc is None else acc + logits_nb
+                ens_nb = np.asarray(acc) / float(len(eps_sorted))
+                for i in range(xs.shape[0]):
+                    y, valid = ys[i], vs[i]
+                    ens = ens_nb[i]
+                    logp = ens - scipy_logsumexp(ens)
+                    picked = logp[np.arange(len(y)), y]
+                    ens_loss += float(np.sum(-picked * valid))
+                    ens_err += float(
+                        np.sum((np.argmax(ens, -1) != y) * valid))
+                    nv = int(valid.sum())
+                    n += nv
+                    ens_logits_chunks.append(ens[:nv])
+                    targets_chunks.append(y[:nv])
             for ep in per_model:
                 per_model[ep]["loss"] /= n
                 per_model[ep]["err"] /= n

@@ -6,8 +6,13 @@ Usage: python tools/big_model_bench.py [resnet101|vit_l_32] [batch] [dtype]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# NB: do NOT use PYTHONPATH for this — any PYTHONPATH value breaks the axon
+# TPU plugin's discovery in this environment; amend sys.path instead.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -19,9 +24,23 @@ from bayesdll_tpu.methods import get_runner_cls
 from bayesdll_tpu.models import create_backbone
 
 
-def main(backbone="resnet101", batch=64, dtype="bfloat16", steps=20):
+V5E_PEAK_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s per chip
+
+# Analytic forward FLOPs per example at 224^2 (XLA's TPU cost_analysis
+# under-reports flops for scanned/fused programs, so MFU uses these):
+# convs/matmuls only, 2 FLOPs per MAC; training step = 3x forward.
+FWD_FLOPS_PER_EXAMPLE = {
+    "resnet101": 15.7e9,       # 7.85 GMACs (torchvision profile)
+    "resnet50": 8.2e9,         # 4.09 GMACs
+    "vit_l_32": 30.5e9,        # 2 * 305M params * 50 tokens
+    "vit_b_16": 33.8e9,        # 2 * 86M params * 197 tokens
+}
+
+
+def main(backbone="resnet101", batch=64, dtype="bfloat16", steps=20,
+         remat=False):
     print(f"devices: {jax.devices()}  backbone={backbone} bs={batch} "
-          f"dtype={dtype}")
+          f"dtype={dtype} remat={remat}")
     cfg = Config(
         method="csghmc",
         hparams={"prior_sig": "1.0", "Ninflate": "1.0", "nd": "1.0",
@@ -31,7 +50,7 @@ def main(backbone="resnet101", batch=64, dtype="bfloat16", steps=20):
         epochs=4, batch_size=batch, lr=1e-2, seed=0, num_cycles=2,
     )
     model, input_shape, meta = create_backbone(
-        backbone, num_classes=37, dtype=dtype)
+        backbone, num_classes=37, dtype=dtype, remat=remat)
     t0 = time.time()
     target, theta_init, net_state = make_flat_target(
         model, input_shape, nd_size=3680, num_classes=37,
@@ -49,10 +68,18 @@ def main(backbone="resnet101", batch=64, dtype="bfloat16", steps=20):
 
     t0 = time.time()
     state, ns = runner.state, runner.net_state
+    # AOT-compile to read XLA's own FLOP count for the full sampler step
+    lowered = runner._jit_step.lower(runner.target, state, ns, x, y,
+                                     jax.random.PRNGKey(0), scalars)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    step_flops = float(cost.get("flops", 0.0)) if cost else 0.0
     state, ns, m = runner._jit_step(runner.target, state, ns, x, y,
                                     jax.random.PRNGKey(0), scalars)
     jax.block_until_ready(state)
-    print(f"compile+first step: {time.time() - t0:.1f}s")
+    print(f"compile+first step: {time.time() - t0:.1f}s; "
+          f"XLA flops/step = {step_flops / 1e12:.3f} T")
 
     # per-step timing with a FORCED host readback of the loss each step:
     # through the remote-chip tunnel, block_until_ready on queued donated
@@ -66,9 +93,16 @@ def main(backbone="resnet101", batch=64, dtype="bfloat16", steps=20):
         float(m[0])  # true device->host sync
         times.append(time.perf_counter() - t0)
     med = sorted(times)[len(times) // 2]
-    print(f"RESULT {backbone} bs={batch} {dtype}: {1 / med:.2f} steps/s = "
+    fwd = FWD_FLOPS_PER_EXAMPLE.get(backbone)
+    analytic = 3.0 * fwd * batch if fwd else step_flops
+    tflops = analytic / med / 1e12
+    mfu = analytic / med / V5E_PEAK_BF16
+    print(f"RESULT {backbone} bs={batch} {dtype} remat={remat}: "
+          f"{1 / med:.2f} steps/s = "
           f"{batch / med:.0f} gradient-evals/sec/chip "
-          f"({med * 1000:.1f} ms/step, median of {steps} sync-timed steps)")
+          f"({med * 1000:.1f} ms/step, median of {steps} sync-timed steps); "
+          f"{tflops:.1f} TFLOPS/chip, MFU = {100 * mfu:.1f}% of v5e bf16 peak"
+          f" (analytic 3x-forward flops{'' if fwd else ' UNAVAILABLE'})")
     assert bool(jnp.isfinite(m[0]))
 
 
@@ -76,4 +110,5 @@ if __name__ == "__main__":
     a = sys.argv[1:]
     main(backbone=a[0] if len(a) > 0 else "resnet101",
          batch=int(a[1]) if len(a) > 1 else 64,
-         dtype=a[2] if len(a) > 2 else "bfloat16")
+         dtype=a[2] if len(a) > 2 else "bfloat16",
+         remat=(len(a) > 3 and a[3] in ("1", "remat", "true")))

@@ -149,8 +149,11 @@ HPARAMS = {
                   "burnin": "0", "thin": "2", "bias": "informative",
                   "nst": "3", "momentum_decay": "0.05"},
     # diagonal Laplace: 2-stage MAP + per-example Fisher
-    # (reference `methods/la.py:360-393`)
-    "la": {"prior_sig": "1.0", "Ninflate": "1.0", "bias": "informative",
+    # (reference `methods/la.py:360-393`); canonical MNIST hparams
+    # (reference `README.md` la command: prior_sig=0.01, Ninflate=1e3) —
+    # a loose prior (sig=1) makes BOTH implementations diverge: dead
+    # parameters keep prior variance 1 and the sampled predictive explodes
+    "la": {"prior_sig": "0.01", "Ninflate": "1e3", "bias": "informative",
            "nst": "5"},
 }
 
@@ -212,6 +215,30 @@ def run_reference(method, train_np, test_np, workdir):
 
 # ------------------------------------------------------------------ ours ----
 
+def torch_init_theta(width=100, depth=2):
+    """Flat theta matching the reference run's exact initial torch weights
+    (same torch.manual_seed + construction as run_reference) so both
+    implementations start from the identical point — init-scale differences
+    otherwise dominate short-run comparisons on hard tasks."""
+    import torch
+    from bayesdll_tpu.core import flat as flat_util
+
+    _install_reference_stubs()
+    small_nets = _load_ref("ref_small_nets", "networks/small_nets.py")
+    torch.manual_seed(CONFIG["seed"])
+    net = small_nets.MLP(input_dim=784, output_dim=10, width=width,
+                         depth=depth)
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params = {}
+    for i in range(depth):
+        params[f"layers_{i}"] = {"kernel": sd[f"layers.{2 * i}.weight"].T,
+                                 "bias": sd[f"layers.{2 * i}.bias"]}
+    params["head"] = {"kernel": sd["classifier.weight"].T,
+                      "bias": sd["classifier.bias"]}
+    theta, _ = flat_util.flatten_params(params)
+    return theta
+
+
 def run_ours(method, train_np, test_np, workdir):
     import jax
     from bayesdll_tpu.config import Config
@@ -237,6 +264,7 @@ def run_ours(method, train_np, test_np, workdir):
     target, theta_init, net_state = make_flat_target(
         model, (784,), nd_size=nd, num_classes=10,
         rng=jax.random.PRNGKey(cfg.seed))
+    theta_init = torch_init_theta()  # identical start to the reference run
     runner = get_runner_cls(method)(target, theta_init, net_state, cfg,
                                     workdir=workdir)
     results = runner.train(train, None, test)
