@@ -121,7 +121,10 @@ def make_flat_target(
     reference `methods/sgld.py:29-36`).
     """
     x = jnp.zeros((1,) + tuple(input_shape), jnp.float32)
-    variables = model.init(rng, x, train=False)
+    # jit the init: eager flax init dispatches one op per parameter, which is
+    # pathological through a remote-device tunnel (~26 ms/op); jitted it is a
+    # single executable.
+    variables = jax.jit(lambda r, xx: model.init(r, xx, train=False))(rng, x)
     params = variables["params"]
     net_state_init = {k: v for k, v in variables.items() if k != "params"}
 

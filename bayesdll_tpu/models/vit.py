@@ -18,6 +18,7 @@ state_dicts convert by stacking per-layer tensors
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -84,6 +85,10 @@ class ViT(nn.Module):
     num_classes: int = 1000
     dtype: str = "float32"
     remat: bool = False  # rematerialise each block (memory for FLOPs)
+    # remat_policy="dots": save matmul outputs, recompute only elementwise
+    # ops (LN/gelu/softmax) on the backward pass — most of remat's memory
+    # win at a fraction of the recompute FLOPs.
+    remat_policy: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -104,7 +109,13 @@ class ViT(nn.Module):
                          (1, t + 1, self.dim)).astype(dt)
         x = x + pos
 
-        block_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
+        if self.remat:
+            policy = None
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_saveable
+            block_cls = nn.remat(EncoderBlock, policy=policy)
+        else:
+            block_cls = EncoderBlock
         scanned = nn.scan(
             block_cls,
             variable_axes={"params": 0},
@@ -127,7 +138,8 @@ def _vit_l_32(num_classes: int = 1000, **kw):
     model = ViT(patch=32, dim=1024, depth=24, heads=16, mlp_dim=4096,
                 image_size=224, num_classes=num_classes,
                 dtype=kw.get("dtype", "float32"),
-                remat=bool(kw.get("remat", False)))
+                remat=bool(kw.get("remat", False)),
+                remat_policy=kw.get("remat_policy", ""))
     return model, (224, 224, 3), {"has_batch_stats": False,
                                   "has_dropout": False}
 
@@ -137,6 +149,7 @@ def _vit_b_16(num_classes: int = 1000, **kw):
     model = ViT(patch=16, dim=768, depth=12, heads=12, mlp_dim=3072,
                 image_size=224, num_classes=num_classes,
                 dtype=kw.get("dtype", "float32"),
-                remat=bool(kw.get("remat", False)))
+                remat=bool(kw.get("remat", False)),
+                remat_policy=kw.get("remat_policy", ""))
     return model, (224, 224, 3), {"has_batch_stats": False,
                                   "has_dropout": False}

@@ -74,12 +74,71 @@ def main():
     dt = time.perf_counter() - t0
 
     grad_evals_per_sec = n_scans * k * bs / dt
-    print(json.dumps({
+    record = {
         "metric": "csghmc_mlp_mnist_grad_evals_per_sec_per_chip",
         "value": round(grad_evals_per_sec, 1),
         "unit": "gradient-evals/sec/chip (bs=128, MLP 784-3x1000-10)",
         "vs_baseline": round(grad_evals_per_sec / BASELINE_GRAD_EVALS_PER_SEC, 2),
-    }))
+    }
+    try:
+        record.update(resnet101_mfu())
+    except Exception as e:  # never let the big-model add-on kill the headline
+        record["resnet101_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(record))
+
+
+def resnet101_mfu(bs: int = 256, steps: int = 20):
+    """Big-model utilization add-on: full cSGHMC sampler step on ResNet-101,
+    bf16, pipelined timing (steps chained back-to-back, one final readback —
+    each step consumes the previous state so the chain cannot over-report;
+    fencing every step would bill the remote-tunnel RTT (~26 ms) to each
+    step). MFU = analytic 3x-forward conv/matmul FLOPs / v5e bf16 peak."""
+    import jax
+    import jax.numpy as jnp
+    from bayesdll_tpu.config import Config
+    from bayesdll_tpu.core.prior import make_flat_target
+    from bayesdll_tpu.models import create_backbone
+    from bayesdll_tpu.methods import get_runner_cls
+
+    v5e_peak = 197e12
+    fwd_flops = 15.7e9  # ResNet-101 @224^2: 7.85 GMACs (torchvision profile)
+    cfg = Config(
+        method="csghmc",
+        hparams={"prior_sig": "1.0", "Ninflate": "1.0", "nd": "1.0",
+                 "thin": "2", "bias": "informative", "nst": "2",
+                 "momentum_decay": "0.05"},
+        dataset="synthetic", backbone="resnet101",
+        epochs=4, batch_size=bs, lr=1e-2, seed=0, num_cycles=2,
+    )
+    model, input_shape, meta = create_backbone(
+        "resnet101", num_classes=37, dtype="bfloat16")
+    target, theta_init, net_state = make_flat_target(
+        model, input_shape, nd_size=3680, num_classes=37,
+        rng=jax.random.PRNGKey(0),
+        has_batch_stats=meta.get("has_batch_stats", False))
+    runner = get_runner_cls("csghmc")(target, theta_init, net_state, cfg)
+    x = jnp.asarray(jax.random.normal(
+        jax.random.PRNGKey(1), (bs,) + tuple(input_shape), jnp.float32))
+    y = jnp.asarray(jax.random.randint(
+        jax.random.PRNGKey(2), (bs,), 0, 37), jnp.int32)
+    scalars = {"lr": 0.01, "should_sample": True, "collect": True}
+    state, ns = runner.state, runner.net_state
+    state, ns, m = runner._jit_step(runner.target, state, ns, x, y,
+                                    jax.random.PRNGKey(0), scalars)
+    float(m[0])  # compile + warmup
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, ns, m = runner._jit_step(runner.target, state, ns, x, y,
+                                        jax.random.PRNGKey(1 + i), scalars)
+    float(m[0])  # fences the whole chain
+    sec = (time.perf_counter() - t0) / steps
+    tflops = 3.0 * fwd_flops * bs / sec / 1e12
+    return {
+        "resnet101_grad_evals_per_sec_per_chip": round(bs / sec, 1),
+        "resnet101_tflops_per_chip": round(tflops, 1),
+        "resnet101_mfu_pct": round(100.0 * tflops * 1e12 / v5e_peak, 1),
+        "resnet101_config": f"cSGHMC bs={bs} bf16 224^2, pipelined timing",
+    }
 
 
 if __name__ == "__main__":

@@ -38,9 +38,9 @@ FWD_FLOPS_PER_EXAMPLE = {
 
 
 def main(backbone="resnet101", batch=64, dtype="bfloat16", steps=20,
-         remat=False):
+         remat=False, remat_policy=""):
     print(f"devices: {jax.devices()}  backbone={backbone} bs={batch} "
-          f"dtype={dtype} remat={remat}")
+          f"dtype={dtype} remat={remat} policy={remat_policy!r}")
     cfg = Config(
         method="csghmc",
         hparams={"prior_sig": "1.0", "Ninflate": "1.0", "nd": "1.0",
@@ -50,7 +50,8 @@ def main(backbone="resnet101", batch=64, dtype="bfloat16", steps=20,
         epochs=4, batch_size=batch, lr=1e-2, seed=0, num_cycles=2,
     )
     model, input_shape, meta = create_backbone(
-        backbone, num_classes=37, dtype=dtype, remat=remat)
+        backbone, num_classes=37, dtype=dtype, remat=remat,
+        remat_policy=remat_policy)
     t0 = time.time()
     target, theta_init, net_state = make_flat_target(
         model, input_shape, nd_size=3680, num_classes=37,
@@ -81,10 +82,14 @@ def main(backbone="resnet101", batch=64, dtype="bfloat16", steps=20,
     print(f"compile+first step: {time.time() - t0:.1f}s; "
           f"XLA flops/step = {step_flops / 1e12:.3f} T")
 
-    # per-step timing with a FORCED host readback of the loss each step:
-    # through the remote-chip tunnel, block_until_ready on queued donated
-    # steps has reported unrealistically fast times (above hardware peak),
-    # so every step is fenced by reading a scalar back
+    # Two timings:
+    #  * fenced: host readback every step. Upper bound — includes the remote
+    #    -chip tunnel round trip (~26 ms measured) in EVERY step.
+    #  * pipelined: K steps queued back-to-back, ONE readback of the last
+    #    step's loss. Each step consumes the previous step's state, so the
+    #    device must execute the full chain before the final scalar exists —
+    #    this cannot over-report, and it amortises the tunnel RTT exactly the
+    #    way a real training loop does. This is the production number.
     times = []
     for i in range(steps):
         t0 = time.perf_counter()
@@ -93,6 +98,18 @@ def main(backbone="resnet101", batch=64, dtype="bfloat16", steps=20,
         float(m[0])  # true device->host sync
         times.append(time.perf_counter() - t0)
     med = sorted(times)[len(times) // 2]
+
+    chain = max(steps, 30)
+    t0 = time.perf_counter()
+    for i in range(chain):
+        state, ns, m = runner._jit_step(runner.target, state, ns, x, y,
+                                        jax.random.PRNGKey(1000 + i), scalars)
+    float(m[0])  # fences the WHOLE chain (last state depends on all steps)
+    piped = (time.perf_counter() - t0) / chain
+    print(f"fenced {med * 1000:.1f} ms/step vs pipelined "
+          f"{piped * 1000:.1f} ms/step over {chain}-step chain "
+          f"(tunnel RTT amortised)")
+    med = piped
     fwd = FWD_FLOPS_PER_EXAMPLE.get(backbone)
     analytic = 3.0 * fwd * batch if fwd else step_flops
     tflops = analytic / med / 1e12
@@ -100,7 +117,7 @@ def main(backbone="resnet101", batch=64, dtype="bfloat16", steps=20,
     print(f"RESULT {backbone} bs={batch} {dtype} remat={remat}: "
           f"{1 / med:.2f} steps/s = "
           f"{batch / med:.0f} gradient-evals/sec/chip "
-          f"({med * 1000:.1f} ms/step, median of {steps} sync-timed steps); "
+          f"({med * 1000:.1f} ms/step, pipelined); "
           f"{tflops:.1f} TFLOPS/chip, MFU = {100 * mfu:.1f}% of v5e bf16 peak"
           f" (analytic 3x-forward flops{'' if fwd else ' UNAVAILABLE'})")
     assert bool(jnp.isfinite(m[0]))
@@ -111,4 +128,5 @@ if __name__ == "__main__":
     main(backbone=a[0] if len(a) > 0 else "resnet101",
          batch=int(a[1]) if len(a) > 1 else 64,
          dtype=a[2] if len(a) > 2 else "bfloat16",
-         remat=(len(a) > 3 and a[3] in ("1", "remat", "true")))
+         remat=(len(a) > 3 and a[3] in ("1", "remat", "true")),
+         remat_policy=a[4] if len(a) > 4 else "")
