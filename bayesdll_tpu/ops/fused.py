@@ -4,9 +4,11 @@ These are THE hot non-matmul ops of the framework — the TPU-native
 replacement for the reference's per-tensor Python loops of `.grad`
 rewrites (reference `methods/sgld.py:468-484`, `methods/sghmc.py:494-510`).
 Each op is a single elementwise pass over one contiguous fp32 vector, which
-XLA fuses into a handful of VPU kernels; a hand-written Pallas path
-(`bayesdll_tpu.ops.pallas_kernels`) can be enabled for the largest models
-where gluing the noise generation + update into one VMEM pass wins.
+XLA fuses into a handful of VPU kernels. A hand-written Pallas path
+(`bayesdll_tpu.ops.pallas_kernels`) exists as a validated fallback but is
+OFF by default: measured on v5e it loses to the XLA path at every model
+size (pad-copy overhead + fusion barrier; see BASELINE.md
+"Pallas-vs-XLA sampler-update decision").
 
 All ops are pure: (arrays in) -> (arrays out), jit/vmap/pjit-friendly.
 """
