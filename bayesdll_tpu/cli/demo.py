@@ -134,6 +134,9 @@ def build_all(cfg, logger):
         from bayesdll_tpu.core import flat as flat_util
         x0 = jnp.zeros((1,) + tuple(input_shape), jnp.float32)
 
+        # jitted: eager flax init is one dispatch per parameter tensor —
+        # pathological through a remote-device tunnel (see core/prior.py)
+        @jax.jit
         def reinit_fn(key):
             fresh = model.init(key, x0, train=False)["params"]
             theta, _ = flat_util.flatten_params(fresh)

@@ -10,11 +10,16 @@ import sys
 from bayesdll_tpu.cli import demo
 
 
+def _has_flag(argv, flag):
+    # both "--flag value" and "--flag=value" forms count as user-provided
+    return any(a == flag or a.startswith(flag + "=") for a in argv)
+
+
 def main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
-    if "--dataset" not in argv:
+    if not _has_flag(argv, "--dataset"):
         argv += ["--dataset", "mnist"]
-    if "--backbone" not in argv:
+    if not _has_flag(argv, "--backbone"):
         argv += ["--backbone", "mlp_mnist"]
     return demo.main(argv)
 

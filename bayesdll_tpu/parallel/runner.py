@@ -31,6 +31,22 @@ from bayesdll_tpu.methods import base
 from bayesdll_tpu.parallel.chains import MultiChainTrainer
 
 
+def _fetch_global(x):
+    """Fetch a (possibly chain-sharded) global array/pytree to host numpy.
+
+    Under multi-host execution a chain-sharded jax.Array spans devices owned
+    by other processes, and plain `jax.device_get` raises ("spans
+    non-addressable devices"); `process_allgather` re-replicates across
+    processes first, so every host gets the full value (same collective
+    cadence on all hosts — this runs at eval/cycle/ckpt boundaries only).
+    """
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda a: np.asarray(jax.device_get(a)), x)
+    from jax.experimental import multihost_utils
+    return jax.tree.map(np.asarray,
+                        multihost_utils.process_allgather(x, tiled=True))
+
+
 class MultiChainRunner:
     method_name = "multi_chain"
 
@@ -106,12 +122,12 @@ class MultiChainRunner:
         tr = self.trainer
         jax.block_until_ready(tr.states)
         means, vars_ = tr.chain_mean_vars()
-        means = np.asarray(jax.device_get(means))
-        vars_ = np.asarray(jax.device_get(vars_))
-        thetas = np.asarray(jax.device_get(tr.states.theta))
-        ns_cnt = np.asarray(jax.device_get(
+        means = _fetch_global(means)
+        vars_ = _fetch_global(vars_)
+        thetas = _fetch_global(tr.states.theta)
+        ns_cnt = _fetch_global(
             getattr(tr.states.moments, "cnt",
-                    getattr(tr.states.moments, "n"))))
+                    getattr(tr.states.moments, "n")))
         liks = self._chain_likelihoods(thetas, vars_, ns_cnt)
         for c in range(tr.n_chain):
             self.chain_cycle_stats[c][cycle] = {
@@ -202,10 +218,8 @@ class MultiChainRunner:
             "epoch": ep,
             "bi": self.trainer.bi,
             "n_chain": self.trainer.n_chain,
-            "states": jax.tree.map(np.asarray,
-                                   jax.device_get(self.trainer.states)),
-            "net_states": jax.tree.map(np.asarray,
-                                       jax.device_get(self.trainer.net_states)),
+            "states": _fetch_global(self.trainer.states),
+            "net_states": _fetch_global(self.trainer.net_states),
             "chain_cycle_stats": self.chain_cycle_stats,
         }
         with open(path, "wb") as f:
@@ -224,12 +238,13 @@ class MultiChainRunner:
             raise ValueError(
                 f"checkpoint has {payload['n_chain']} chains, runner has "
                 f"{self.trainer.n_chain}; restart with matching --num_chains")
-        is_np = lambda x: isinstance(x, np.ndarray)
-        states = jax.tree.map(jnp.asarray, payload["states"], is_leaf=is_np)
-        self.trainer.states = jax.device_put(states, self.trainer._state_sh)
-        self.trainer.net_states = jax.device_put(
-            jax.tree.map(jnp.asarray, payload["net_states"], is_leaf=is_np),
-            self.trainer._chain_sh)
+        # device_put the raw numpy payload directly: converting to committed
+        # local jnp arrays first would make the reshard onto non-addressable
+        # (other-process) devices illegal under multi-host (chains.py:88-92)
+        self.trainer.states = jax.device_put(payload["states"],
+                                             self.trainer._state_sh)
+        self.trainer.net_states = jax.device_put(payload["net_states"],
+                                                 self.trainer._chain_sh)
         self.trainer.bi = int(payload.get("bi", 0))
         self.runner.bi = self.trainer.bi
         self.chain_cycle_stats = payload.get("chain_cycle_stats", [])
@@ -324,8 +339,8 @@ class MultiChainRunner:
         # small replicated computation, and keeping the chain sharding here
         # would make XLA insert collectives into every eval batch
         means, vars_ = self.trainer.chain_mean_vars()
-        means = jnp.asarray(jax.device_get(means))
-        vars_ = jnp.asarray(jax.device_get(vars_))
+        means = jnp.asarray(_fetch_global(means))
+        vars_ = jnp.asarray(_fetch_global(vars_))
         for i, (x, y, valid) in enumerate(loader):
             key = jax.random.fold_in(self.runner.eval_key, 50_000 + i)
             logits_all = jit_pred(means, vars_, jnp.asarray(x), key)

@@ -19,6 +19,21 @@ import jax
 import numpy as np
 
 
+# --- hardware/model constants shared by bench.py and tools/ benches --------
+
+V5E_PEAK_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s per chip
+
+# Analytic forward FLOPs per example at 224^2 (XLA's TPU cost_analysis
+# under-reports flops for scanned/fused programs, so MFU uses these):
+# convs/matmuls only, 2 FLOPs per MAC; training step = 3x forward.
+FWD_FLOPS_PER_EXAMPLE = {
+    "resnet101": 15.7e9,       # 7.85 GMACs (torchvision profile)
+    "resnet50": 8.2e9,         # 4.09 GMACs
+    "vit_l_32": 30.5e9,        # 2 * 305M params * 50 tokens
+    "vit_b_16": 33.8e9,        # 2 * 86M params * 197 tokens
+}
+
+
 @contextlib.contextmanager
 def trace(logdir: Optional[str]):
     """Device-level profiler trace; no-op when logdir is None."""

@@ -99,9 +99,11 @@ def resnet101_mfu(bs: int = 256, steps: int = 20):
     from bayesdll_tpu.core.prior import make_flat_target
     from bayesdll_tpu.models import create_backbone
     from bayesdll_tpu.methods import get_runner_cls
+    from bayesdll_tpu.utils.profiling import (FWD_FLOPS_PER_EXAMPLE,
+                                              V5E_PEAK_BF16)
 
-    v5e_peak = 197e12
-    fwd_flops = 15.7e9  # ResNet-101 @224^2: 7.85 GMACs (torchvision profile)
+    v5e_peak = V5E_PEAK_BF16
+    fwd_flops = FWD_FLOPS_PER_EXAMPLE["resnet101"]
     cfg = Config(
         method="csghmc",
         hparams={"prior_sig": "1.0", "Ninflate": "1.0", "nd": "1.0",

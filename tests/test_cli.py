@@ -41,6 +41,28 @@ def test_demo_cli_resume(tmp_path):
     assert "nll" in results
 
 
+def test_demo_mnist_alias_respects_eq_form(tmp_path):
+    """`--dataset=value` must count as user-provided: the alias driver used
+    to append its default AFTER it, silently overriding the user's choice
+    (argparse last-occurrence-wins)."""
+    from bayesdll_tpu.cli import demo_mnist
+
+    assert demo_mnist._has_flag(["--dataset=cifar10"], "--dataset")
+    assert demo_mnist._has_flag(["--dataset", "cifar10"], "--dataset")
+    assert not demo_mnist._has_flag(["--dataset_x", "y"], "--dataset")
+
+    # functional: '=' form survives through the alias (mnist would need a
+    # download and fail; synthetic must win)
+    results = demo_mnist.main([
+        "--dataset=synthetic", "--method", "sgld", "--epochs", "1",
+        "--batch_size", "64", "--lr", "1e-2", "--log_dir", str(tmp_path),
+        "--hparams",
+        "prior_sig=1.0,Ninflate=1.0,nd=0.1,burnin=0,thin=2,"
+        "bias=informative,nst=2",
+    ])
+    assert "nll" in results
+
+
 def test_pretrain_cli_default_hparams(tmp_path):
     # override the default burnin=5 so a 2-epoch smoke run reaches eval
     results = pretrain.main([

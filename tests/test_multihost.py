@@ -52,6 +52,20 @@ for step in range(3):
     loss_c, err_c = trainer.step(x, y, runner.step_scalars(0))
     print(f"STEP {step} pid {pid} loss {np.asarray(loss_c).tolist()}",
           flush=True)
+
+# host-fetch, checkpoint save/load, and Gaussian-mixture eval must all work
+# with chain-sharded arrays spanning the OTHER process's devices
+from bayesdll_tpu.parallel.runner import MultiChainRunner, _fetch_global
+mcr = MultiChainRunner(runner, mesh, workdir=f"/tmp/mh_test_{port}_{pid}")
+mcr.trainer = trainer
+means, vars_ = trainer.chain_mean_vars()
+m_np = _fetch_global(means)
+assert m_np.shape == (2, target.dim), m_np.shape
+ckpt_path = mcr.save_ckpt(0)
+mcr.load_ckpt(ckpt_path)
+loader = [(x[0], y[0], np.ones(32, np.float32))]
+pack = mcr._gaussian_evaluate(loader)
+print(f"EVAL pid {pid} loss {float(pack[0]):.6f}", flush=True)
 print(f"DONE pid {pid}", flush=True)
 """
 
@@ -82,4 +96,9 @@ def test_two_process_chain_sharded_step(tmp_path):
     assert len(lines0) == 3 and len(lines1) == 3
     for l0, l1 in zip(lines0, lines1):
         assert l0.split("pid 0")[-1] == l1.split("pid 1")[-1], (l0, l1)
+    # the fetched (process_allgather'd) eval is identical on both processes
+    ev0 = [l for l in outs[0].splitlines() if l.startswith("EVAL")]
+    ev1 = [l for l in outs[1].splitlines() if l.startswith("EVAL")]
+    assert len(ev0) == 1 and len(ev1) == 1
+    assert ev0[0].split("pid 0")[-1] == ev1[0].split("pid 1")[-1], (ev0, ev1)
     assert "DONE pid 0" in outs[0] and "DONE pid 1" in outs[1]
