@@ -67,19 +67,21 @@ def path_masks(
     `scale`/`bias` — the reference's `'bias' in pname` test likewise catches
     torch BN biases).
 
-    Returns numpy fp32 vectors aligned with `flatten_params(params)[0]`.
+    Returns numpy bool vectors aligned with `flatten_params(params)[0]`
+    (bool, not fp32: at ViT-L/32 scale an fp32 mask pair is 2.4 GB of
+    resident HBM for 0/1 data; the f32 cast happens inside the fused step).
     """
     leaves_with_paths = jax.tree_util.tree_leaves_with_path(params)
     head_chunks, bias_chunks = [], []
     for path, leaf in leaves_with_paths:
         names = _path_names(path)
         n = int(np.prod(np.asarray(leaf.shape, dtype=np.int64))) if leaf.shape else 1
-        is_head = float(any(readout_name in name for name in names))
-        is_bias = float(len(names) > 0 and names[-1] in bias_leaf_names)
-        head_chunks.append(np.full((n,), is_head, dtype=np.float32))
-        bias_chunks.append(np.full((n,), is_bias, dtype=np.float32))
+        is_head = bool(any(readout_name in name for name in names))
+        is_bias = bool(len(names) > 0 and names[-1] in bias_leaf_names)
+        head_chunks.append(np.full((n,), is_head, dtype=np.bool_))
+        bias_chunks.append(np.full((n,), is_bias, dtype=np.bool_))
     if not head_chunks:
-        return np.zeros((0,), np.float32), np.zeros((0,), np.float32)
+        return np.zeros((0,), np.bool_), np.zeros((0,), np.bool_)
     return np.concatenate(head_chunks), np.concatenate(bias_chunks)
 
 

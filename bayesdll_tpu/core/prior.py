@@ -51,10 +51,12 @@ class FlatTarget(flax.struct.PyTreeNode):
       theta0: fp32 prior-mean vector (pretrained weights with zeroed head, or
         all zeros — reference `networks/__init__.py:90-92`,
         `methods/sgld.py:29-36`).
-      is_head: fp32 0/1 mask — element belongs to the readout head
+      is_head: bool mask — element belongs to the readout head
         (reference selects head params by name substring,
-        `methods/sgld.py:52-56`).
-      is_bias: fp32 0/1 mask — element is a bias parameter.
+        `methods/sgld.py:52-56`).  Stored bool, not fp32: 1 byte/element
+        of resident HBM instead of 4 (2.4 GB -> 0.6 GB for the pair at
+        ViT-L/32 scale); the f32 view is fused into the update by XLA.
+      is_bias: bool mask — element is a bias parameter.
       apply_fn: (params_pytree, net_state, x, train, rng) ->
         (logits, new_net_state); net_state carries mutable collections such
         as BatchNorm batch_stats ({} for stateless models).
@@ -90,13 +92,14 @@ class FlatTarget(flax.struct.PyTreeNode):
         `'bias' in pname and bias == 'uninformative'`).
         """
         if bias_mode in ("uninformative", "ignore"):
-            return 1.0 - self.is_bias
-        return jnp.ones_like(self.is_bias)
+            return 1.0 - self.is_bias.astype(jnp.float32)
+        return jnp.ones(self.is_bias.shape, jnp.float32)
 
     def lr_vec(self, lr_body, lr_head) -> jnp.ndarray:
         """Per-element learning rate: body lr except head elements
         (reference two-param-group SGD, `methods/sgld.py:52-56`)."""
-        return lr_body * (1.0 - self.is_head) + lr_head * self.is_head
+        return jnp.where(self.is_head,
+                         jnp.float32(lr_head), jnp.float32(lr_body))
 
 
 def make_flat_target(

@@ -108,7 +108,7 @@ class CyclicalRunnerBase(base.BaseRunner):
         lr_head/lr ratio for the head (reference `methods/csgld.py:233-239`)."""
         t = self.target
         ratio = self.cfg.lr_head / self.cfg.lr
-        return lr_t * (1.0 - t.is_head) + lr_t * ratio * t.is_head
+        return jnp.where(t.is_head, lr_t * ratio, lr_t)
 
     def device_scalars(self, ep: int, bi):
         """Traced cyclical scalars for the fused scan path: the schedule is a

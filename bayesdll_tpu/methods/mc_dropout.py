@@ -62,20 +62,21 @@ class Runner(base.BaseRunner):
                 ).astype(jnp.float32)
         if self.bias_mode == "spikymix":
             return bern
-        return jnp.where(t.is_bias > 0, 1.0, bern)
+        return jnp.where(t.is_bias, 1.0, bern)
 
     def _kl_coeff(self):
         """Per-element coefficient on (m-theta0)/sig^2/ND in the KL grad and
         on 0.5*(m-theta0)^2/sig^2 in the KL loss."""
         t = self.target
         one_minus_p = 1.0 - self.p_drop
+        is_bias = t.is_bias.astype(jnp.float32)
         if self.bias_mode == "gaussian":
             # weights: (1-p); biases: 1
-            return one_minus_p * (1.0 - t.is_bias) + t.is_bias
+            return one_minus_p * (1.0 - is_bias) + is_bias
         if self.bias_mode == "spikymix":
-            return jnp.full_like(t.is_bias, one_minus_p)
+            return jnp.full(t.is_bias.shape, one_minus_p, jnp.float32)
         # 'ignore': weights (1-p); biases 0
-        return one_minus_p * (1.0 - t.is_bias)
+        return one_minus_p * (1.0 - is_bias)
 
     def _step(self, state, ns, x, y, key, scalars):
         t, cfg = self.target, self.cfg

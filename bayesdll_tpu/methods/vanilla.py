@@ -45,8 +45,9 @@ class Runner(base.BaseRunner):
         cfg = self.cfg
         # 'ignore' drops the L2 pull on bias elements
         # (reference `methods/vanilla.py:350-359`).
-        mask = (1.0 - t.is_bias) if self.bias_mode_vanilla == "ignore" \
-            else jnp.ones_like(t.is_bias)
+        mask = (1.0 - t.is_bias.astype(jnp.float32)) \
+            if self.bias_mode_vanilla == "ignore" \
+            else jnp.ones(t.is_bias.shape, jnp.float32)
 
         def loss_fn(theta):
             logits, new_ns = t.forward(theta, ns, x, train=True)

@@ -65,8 +65,8 @@ class Runner(base.BaseRunner):
         KL nor NLL gradient — reference `methods/vi.py:437-440`)."""
         t = self.target
         if self.bias_mode == "uninformative":
-            return 1.0 - t.is_bias
-        return jnp.ones_like(t.is_bias)
+            return 1.0 - t.is_bias.astype(jnp.float32)
+        return jnp.ones(t.is_bias.shape, jnp.float32)
 
     def _step(self, state, ns, x, y, key, scalars):
         t, cfg = self.target, self.cfg
