@@ -43,10 +43,22 @@ def prepare(cfg):
     """Build loaders for cfg.dataset. Returns (train, val, test, nd)."""
     seed = cfg.seed
     if cfg.dataset == "synthetic":
+        # input shape must match the backbone: MNIST-shaped for the small
+        # nets, the backbone's declared shape (e.g. 224x224x3) otherwise —
+        # hardcoding (28,28,1) broke resnet/vit smoke runs at apply time
+        if cfg.backbone == "mlp_mnist":
+            in_shape = (784,)
+        elif cfg.backbone == "cnn_mnist":
+            in_shape = (28, 28, 1)
+        else:
+            from bayesdll_tpu.models import create_backbone
+            _, in_shape, _ = create_backbone(
+                cfg.backbone, num_classes=cfg.num_classes)
+        big = int(np.prod(in_shape)) > 10_000  # keep big-image smokes cheap
         (xtr, ytr), (xte, yte), num_classes = make_synthetic(
-            n_train=getattr(cfg, "synthetic_n_train", 4096),
-            n_test=getattr(cfg, "synthetic_n_test", 1024),
-            input_shape=(784,) if cfg.backbone == "mlp_mnist" else (28, 28, 1),
+            n_train=getattr(cfg, "synthetic_n_train", 512 if big else 4096),
+            n_test=getattr(cfg, "synthetic_n_test", 256 if big else 1024),
+            input_shape=in_shape,
             num_classes=cfg.num_classes,
             seed=seed,
         )

@@ -26,11 +26,19 @@ from bayesdll_tpu.models import register
 
 
 class MHSA(nn.Module):
-    """Multi-head self-attention with torchvision's packed-qkv layout."""
+    """Multi-head self-attention with torchvision's packed-qkv layout.
+
+    fused=True routes the softmax(QK^T)V core through
+    `jax.nn.dot_product_attention` (XLA's fused attention path — no
+    materialized fp32 [B,H,T,T] buffer); fused=False keeps the explicit
+    einsum pair (reference semantics, used by the conversion-numerics
+    tests). Both compute the same function.
+    """
 
     dim: int
     heads: int
     dtype: str = "float32"
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -40,6 +48,15 @@ class MHSA(nn.Module):
         hd = d // h
         qkv = nn.Dense(3 * d, name="qkv", dtype=dt)(x)  # torch in_proj
         q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        if self.fused:
+            # BTHD layout, scale 1/sqrt(hd) applied internally
+            q = q.reshape(b, t, h, hd)
+            k = k.reshape(b, t, h, hd)
+            v = v.reshape(b, t, h, hd)
+            y = jax.nn.dot_product_attention(q, k, v)
+            y = y.reshape(b, t, d).astype(dt)
+            return nn.Dense(d, name="out", dtype=dt)(y)
 
         def split_heads(a):
             return a.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
@@ -61,13 +78,14 @@ class EncoderBlock(nn.Module):
     heads: int
     mlp_dim: int
     dtype: str = "float32"
+    fused_attention: bool = True
 
     @nn.compact
     def __call__(self, x, _=None):
         dt = jnp.dtype(self.dtype)
         y = nn.LayerNorm(epsilon=1e-6, name="ln_1", dtype=dt)(x)
         x = x + MHSA(self.dim, self.heads, dtype=self.dtype,
-                     name="attention")(y)
+                     fused=self.fused_attention, name="attention")(y)
         y = nn.LayerNorm(epsilon=1e-6, name="ln_2", dtype=dt)(x)
         y = nn.Dense(self.mlp_dim, name="mlp_dense_0", dtype=dt)(y)
         y = nn.gelu(y, approximate=False)
@@ -89,6 +107,7 @@ class ViT(nn.Module):
     # ops (LN/gelu/softmax) on the backward pass — most of remat's memory
     # win at a fraction of the recompute FLOPs.
     remat_policy: str = ""
+    fused_attention: bool = True  # jax.nn.dot_product_attention core
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -122,7 +141,8 @@ class ViT(nn.Module):
             split_rngs={"params": True},
             length=self.depth,
         )(dim=self.dim, heads=self.heads, mlp_dim=self.mlp_dim,
-          dtype=self.dtype, name="layers")
+          dtype=self.dtype, fused_attention=self.fused_attention,
+          name="layers")
         x, _ = scanned(x, None)
 
         x = nn.LayerNorm(epsilon=1e-6, name="ln", dtype=dt)(x)
@@ -139,7 +159,8 @@ def _vit_l_32(num_classes: int = 1000, **kw):
                 image_size=224, num_classes=num_classes,
                 dtype=kw.get("dtype", "float32"),
                 remat=bool(kw.get("remat", False)),
-                remat_policy=kw.get("remat_policy", ""))
+                remat_policy=kw.get("remat_policy", ""),
+                fused_attention=bool(kw.get("fused_attention", True)))
     return model, (224, 224, 3), {"has_batch_stats": False,
                                   "has_dropout": False}
 
@@ -150,6 +171,7 @@ def _vit_b_16(num_classes: int = 1000, **kw):
                 image_size=224, num_classes=num_classes,
                 dtype=kw.get("dtype", "float32"),
                 remat=bool(kw.get("remat", False)),
-                remat_policy=kw.get("remat_policy", ""))
+                remat_policy=kw.get("remat_policy", ""),
+                fused_attention=bool(kw.get("fused_attention", True)))
     return model, (224, 224, 3), {"has_batch_stats": False,
                                   "has_dropout": False}

@@ -81,3 +81,25 @@ def test_cifar_augment_shapes_and_variation():
     # augmented batch differs from original for most images
     diff = (np.abs(out - x).reshape(8, -1).max(axis=1) > 1e-6)
     assert diff.sum() >= 6
+
+
+def test_synthetic_shape_follows_backbone():
+    """Synthetic data must match the backbone's declared input shape —
+    hardcoding (28,28,1) broke resnet/vit smoke runs at apply time
+    (channel mismatch vs the (224,224,3)-initialised conv params)."""
+    from bayesdll_tpu.config import Config
+    from bayesdll_tpu.data import prepare
+
+    cfg = Config(method="sgld", dataset="synthetic", backbone="resnet50",
+                 epochs=1, batch_size=16, lr=1e-2, hparams={},
+                 val_heldout=0.1)
+    train, _, _, _ = prepare(cfg)
+    x, _, _ = next(iter(train))
+    assert x.shape[1:] == (224, 224, 3), x.shape
+
+    cfg2 = Config(method="sgld", dataset="synthetic", backbone="cnn_mnist",
+                  epochs=1, batch_size=16, lr=1e-2, hparams={},
+                  val_heldout=0.1)
+    t2, _, _, _ = prepare(cfg2)
+    x2, _, _ = next(iter(t2))
+    assert x2.shape[1:] == (28, 28, 1), x2.shape
