@@ -53,8 +53,8 @@ def main():
     # verified bit-equivalent to the per-batch path in tests/test_fused_steps.py
     from bayesdll_tpu.core.schedule import CyclicalSchedule
     runner.sched = CyclicalSchedule(base_lr=cfg.lr, num_cycles=2,
-                                    epochs=cfg.epochs, batches_per_epoch=100)
-    k = 50
+                                    epochs=cfg.epochs, batches_per_epoch=400)
+    k = 100  # scan length swept on hardware: 100 beats 50 (+5%) and 200
     xs = jnp.broadcast_to(x, (k,) + x.shape)
     ys = jnp.broadcast_to(y, (k,) + y.shape)
 
