@@ -55,8 +55,13 @@ def prepare(cfg):
             _, in_shape, _ = create_backbone(
                 cfg.backbone, num_classes=cfg.num_classes)
         big = int(np.prod(in_shape)) > 10_000  # keep big-image smokes cheap
+        # floor: at least 2 full train batches must survive the val split
+        # (drop_last train loader -> an empty epoch otherwise)
+        floor_n = int(np.ceil(2 * cfg.batch_size
+                              / max(1e-9, 1.0 - cfg.val_heldout)))
         (xtr, ytr), (xte, yte), num_classes = make_synthetic(
-            n_train=getattr(cfg, "synthetic_n_train", 512 if big else 4096),
+            n_train=getattr(cfg, "synthetic_n_train",
+                            max(512 if big else 4096, floor_n)),
             n_test=getattr(cfg, "synthetic_n_test", 256 if big else 1024),
             input_shape=in_shape,
             num_classes=cfg.num_classes,

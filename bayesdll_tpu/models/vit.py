@@ -31,8 +31,9 @@ class MHSA(nn.Module):
     fused=True routes the softmax(QK^T)V core through
     `jax.nn.dot_product_attention` (XLA's fused attention path — no
     materialized fp32 [B,H,T,T] buffer); fused=False keeps the explicit
-    einsum pair (reference semantics, used by the conversion-numerics
-    tests). Both compute the same function.
+    einsum pair (reference semantics). Both compute the same function —
+    asserted fp32-exact by tests/test_backbones.py::test_fused_attention
+    _matches_einsum.
     """
 
     dim: int

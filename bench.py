@@ -47,7 +47,6 @@ def main():
         jax.random.normal(jax.random.PRNGKey(1), (bs, 784), jnp.float32))
     y = jnp.asarray(
         jax.random.randint(jax.random.PRNGKey(2), (bs,), 0, 10), jnp.int32)
-    scalars = {"lr": 0.01, "should_sample": True, "collect": True}
 
     # fused multi-step execution: K steps per XLA dispatch (lax.scan),
     # verified bit-equivalent to the per-batch path in tests/test_fused_steps.py

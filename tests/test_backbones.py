@@ -243,3 +243,23 @@ def test_registry_reaches_all_backbones_fresh_interpreter():
                               "JAX_PLATFORMS": "cpu"})
     assert out.returncode == 0, out.stderr
     assert "OK" in out.stdout
+
+
+def test_fused_attention_matches_einsum():
+    """The fused (jax.nn.dot_product_attention) and reference-semantics
+    einsum attention paths must compute the same function — the einsum
+    branch is the documented fallback and must stay verified."""
+    import jax
+    import jax.numpy as jnp
+    from bayesdll_tpu.models.vit import ViT
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    for dt, tol in (("float32", 1e-5), ("bfloat16", 0.06)):
+        m_fused = ViT(patch=16, dim=64, depth=2, heads=4, mlp_dim=128,
+                      num_classes=5, dtype=dt, fused_attention=True)
+        m_einsum = ViT(patch=16, dim=64, depth=2, heads=4, mlp_dim=128,
+                       num_classes=5, dtype=dt, fused_attention=False)
+        v = m_einsum.init(jax.random.PRNGKey(0), x, train=False)
+        y0 = m_einsum.apply(v, x, train=False)
+        y1 = m_fused.apply(v, x, train=False)
+        assert float(jnp.max(jnp.abs(y1 - y0))) < tol, dt

