@@ -14,12 +14,14 @@ see BASELINE.md "Self-generated baselines"): 2498.8 gradient-evals/sec.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 BASELINE_GRAD_EVALS_PER_SEC = 2498.8  # reference cSGHMC, torch CPU, bs=128
 
 
 def main():
+    t_start = time.time()
     import jax
     import jax.numpy as jnp
     from bayesdll_tpu.config import Config
@@ -79,10 +81,19 @@ def main():
         "unit": "gradient-evals/sec/chip (bs=128, MLP 784-3x1000-10)",
         "vs_baseline": round(grad_evals_per_sec / BASELINE_GRAD_EVALS_PER_SEC, 2),
     }
-    try:
-        record.update(resnet101_mfu())
-    except Exception as e:  # never let the big-model add-on kill the headline
-        record["resnet101_error"] = f"{type(e).__name__}: {e}"
+    # Big-model add-on only if the headline left time for it: remote-compile
+    # latency is variable, and the headline line must ALWAYS be printed
+    # before any runner-side timeout.
+    budget_s = float(os.environ.get("BENCH_BIG_BUDGET_S", "300"))
+    if time.time() - t_start < budget_s:
+        try:
+            record.update(resnet101_mfu())
+        except Exception as e:  # never let the add-on kill the headline
+            record["resnet101_error"] = f"{type(e).__name__}: {e}"
+    else:
+        record["resnet101_skipped"] = (
+            f"headline took {time.time() - t_start:.0f}s > {budget_s:.0f}s "
+            f"budget (remote-compile variance)")
     print(json.dumps(record))
 
 
