@@ -66,6 +66,29 @@ mcr.load_ckpt(ckpt_path)
 loader = [(x[0], y[0], np.ones(32, np.float32))]
 pack = mcr._gaussian_evaluate(loader)
 print(f"EVAL pid {pid} loss {float(pack[0]):.6f}", flush=True)
+
+# cyclical multi-chain path under multi-process sharding: one epoch of
+# csghmc with a cycle boundary exercises _cyclical_after_batch's
+# host-fetches, the vmapped chain likelihoods, and the GMM evaluate
+from bayesdll_tpu.data.loader import ArrayLoader
+from bayesdll_tpu.parallel.runner import MultiChainRunner as MCR
+rng2 = np.random.RandomState(7)
+xs_all = rng2.randn(128, 784).astype(np.float32)
+ys_all = rng2.randint(0, 10, 128).astype(np.int32)
+tr_loader = ArrayLoader(xs_all, ys_all, 32, shuffle=True, seed=5,
+                        drop_last=True)
+te_loader = ArrayLoader(xs_all[:64], ys_all[:64], 32, shuffle=False)
+cfg2 = Config(method="csghmc", dataset="synthetic", backbone="mlp_mnist",
+              epochs=1, batch_size=32, lr=1e-2, num_cycles=1,
+              test_eval_freq=1,
+              hparams={"prior_sig": "0.05", "Ninflate": "1.0", "nd": "0.01",
+                       "thin": "1", "bias": "informative", "nst": "1",
+                       "momentum_decay": "0.05"})
+runner2 = get_runner_cls("csghmc")(target, theta_init, net_state, cfg2)
+mesh2 = make_mesh(2, 4)
+mcr2 = MCR(runner2, mesh2)
+res = mcr2.train(tr_loader, None, te_loader)
+print(f"CYC pid {pid} nll {res['nll']:.6f}", flush=True)
 print(f"DONE pid {pid}", flush=True)
 """
 
@@ -101,4 +124,9 @@ def test_two_process_chain_sharded_step(tmp_path):
     ev1 = [l for l in outs[1].splitlines() if l.startswith("EVAL")]
     assert len(ev0) == 1 and len(ev1) == 1
     assert ev0[0].split("pid 0")[-1] == ev1[0].split("pid 1")[-1], (ev0, ev1)
+    # cyclical multi-chain (cycle boundary + GMM eval) identical on both
+    cy0 = [l for l in outs[0].splitlines() if l.startswith("CYC")]
+    cy1 = [l for l in outs[1].splitlines() if l.startswith("CYC")]
+    assert len(cy0) == 1 and len(cy1) == 1
+    assert cy0[0].split("pid 0")[-1] == cy1[0].split("pid 1")[-1], (cy0, cy1)
     assert "DONE pid 0" in outs[0] and "DONE pid 1" in outs[1]
