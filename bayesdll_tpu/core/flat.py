@@ -11,9 +11,9 @@ cheap unravel (per-leaf slice+reshape, fused by XLA).
 Per-parameter policy decisions in the reference are *name-substring tests*
 inside Python loops (`'bias' in pname`, `net.readout_name not in pname` —
 reference `methods/sgld.py:470-476`).  Here they are precomputed per-element
-0/1 mask vectors (`is_bias`, `is_head`) so that the policy becomes pure
-arithmetic inside the jitted step: e.g.
-`lr_vec = lr_body * (1 - is_head) + lr_head * is_head`.
+bool mask vectors (`is_bias`, `is_head`) so that the policy becomes a pure
+select inside the jitted step: e.g.
+`lr_vec = jnp.where(is_head, lr_head, lr_body)`.
 """
 
 from __future__ import annotations

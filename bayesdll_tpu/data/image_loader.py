@@ -40,6 +40,14 @@ class ImageFileLoader:
     def num_examples(self):
         return self.n
 
+    def eval_view(self):
+        """Un-augmented, unshuffled view over the SAME images (eval
+        transforms: resize+center-crop, no flip/crop jitter) — for LA
+        stage-2 Fisher (reference `methods/la.py:375-387`)."""
+        return ImageFileLoader(self.paths, self.labels, self.batch_size,
+                               train=False, size=self.size,
+                               num_threads=self.num_threads)
+
     def _load_one(self, idx: int, epoch_rng_seed: int):
         img = vt.load_image(self.paths[idx])
         if self.train:

@@ -31,6 +31,13 @@ class ArrayLoader:
             return self.n // self.batch_size
         return (self.n + self.batch_size - 1) // self.batch_size
 
+    def eval_view(self):
+        """Un-augmented, unshuffled view over the SAME examples — for passes
+        that must see plain train data (LA stage-2 Fisher accumulates over
+        un-augmented examples, reference `methods/la.py:375-387`)."""
+        return ArrayLoader(self.x, self.y, self.batch_size, shuffle=False,
+                           drop_last=False, augment_fn=None)
+
     @property
     def num_examples(self):
         return self.n

@@ -275,23 +275,26 @@ class CyclicalRunnerBase(base.BaseRunner):
 
     def _build_comp_scan(self):
         """Build the jitted per-component eval scan
-        (mean, var, net_state, stacked-batches, comp_id) -> [NB, S, B, K]."""
+        (mean, var, net_state, stacked-batches, comp_id, i0) ->
+        [NB, S, B, K].  `i0` is the global batch index of the window's first
+        batch: keys fold on the GLOBAL index so metrics are invariant to the
+        streaming-window size (VERDICT r2 weak #6)."""
         if getattr(self, "_jit_comp_scan", None) is not None:
             return
 
-        def comp_scan(mean, var, ns, xs, comp_id):
+        def comp_scan(mean, var, ns, xs, comp_id, i0):
             saved = self.net_state
             self.net_state = ns
             try:
-                return comp_scan_body(mean, var, xs, comp_id)
+                return comp_scan_body(mean, var, xs, comp_id, i0)
             finally:
                 self.net_state = saved
 
-        def comp_scan_body(mean, var, xs, comp_id):
+        def comp_scan_body(mean, var, xs, comp_id, i0):
             def body(carry, inp):
                 x, i = inp
                 key = jax.random.fold_in(
-                    self.eval_key, i * 1000 + comp_id)
+                    self.eval_key, (i0 + i) * 1000 + comp_id)
                 la = self._component_logits(mean, var, x, key)
                 return carry, la
             idx = jnp.arange(xs.shape[0], dtype=jnp.int32)
@@ -330,13 +333,16 @@ class CyclicalRunnerBase(base.BaseRunner):
         # mixed as a weighted sum
         loss_sum, err_sum, n = 0.0, 0.0, 0.0
         targets, logits_list, logits_all_list = [], [], []
-        for xs, ys, vs in window_batches(loader):
+        i0 = 0  # global batch index (window-size invariance)
+        for xs, ys, vs in window_batches(loader, self.FUSED_BYTES_BUDGET):
             xs_j = jnp.asarray(xs)
+            i0_j = jnp.asarray(i0, jnp.int32)
             comp_las = [np.asarray(self._jit_comp_scan(
                 self.target,
                 jnp.asarray(self.cycle_stats[c]["mean"]),
                 jnp.asarray(self.cycle_stats[c]["var"]), self.net_state,
-                xs_j, jnp.asarray(c, jnp.int32))) for c, _w in comps]
+                xs_j, jnp.asarray(c, jnp.int32), i0_j)) for c, _w in comps]
+            i0 += int(xs.shape[0])
             for i in range(xs.shape[0]):
                 y, valid = ys[i], vs[i]
                 mix = None

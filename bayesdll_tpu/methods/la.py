@@ -158,26 +158,36 @@ class Runner(base.BaseRunner):
 
         grad_one = jax.grad(one_example_loss)
 
-        def accumulate_body(theta, prec, xb, yb):
+        def accumulate_body(theta, prec, xb, yb, vb):
             def chunk_body(p, chunk):
-                xc, yc = chunk
+                xc, yc, vc = chunk
                 g = jax.vmap(lambda xi, yi: grad_one(theta, xi, yi))(xc, yc)
-                return p + jnp.sum(g * g, axis=0), None
+                # weight by the valid mask: padded tail examples of the
+                # eval-view loader must not contribute grad^2
+                return p + jnp.sum(g * g * vc[:, None], axis=0), None
             nb = xb.shape[0] // mb
             xcs = xb[:nb * mb].reshape((nb, mb) + xb.shape[1:])
             ycs = yb[:nb * mb].reshape((nb, mb))
-            prec, _ = jax.lax.scan(chunk_body, prec, (xcs, ycs))
+            vcs = vb[:nb * mb].reshape((nb, mb))
+            prec, _ = jax.lax.scan(chunk_body, prec, (xcs, ycs, vcs))
             # remainder examples one at a time (static count)
             for i in range(nb * mb, xb.shape[0]):
                 g = grad_one(theta, xb[i], yb[i])
-                prec = prec + g * g
+                prec = prec + g * g * vb[i]
             return prec
 
         accumulate = jax.jit(self._swap_target(accumulate_body))
-        for xb, yb, valid in train_loader:
-            # train loader uses drop_last, so batches are full/valid
+        # Fisher accumulates over PLAIN train examples: un-augmented,
+        # unshuffled (reference `methods/la.py:375-387` iterates the raw
+        # train set) — the train-time crop/flip augmentation must be off or
+        # the estimated precision is systematically biased (VERDICT r2
+        # weak #7).
+        loader = train_loader.eval_view() \
+            if hasattr(train_loader, "eval_view") else train_loader
+        for xb, yb, valid in loader:
             precision = accumulate(self.target, theta, precision,
-                                   jnp.asarray(xb), jnp.asarray(yb))
+                                   jnp.asarray(xb), jnp.asarray(yb),
+                                   jnp.asarray(valid))
         return 1.0 / precision
 
     def extra_ckpt(self):

@@ -130,9 +130,14 @@ class ViT(nn.Module):
         x = x + pos
 
         if self.remat:
-            policy = None
             if self.remat_policy == "dots":
                 policy = jax.checkpoint_policies.dots_saveable
+            elif self.remat_policy == "":
+                policy = None  # full remat: recompute everything
+            else:
+                raise ValueError(
+                    f"unknown remat_policy {self.remat_policy!r}; "
+                    "expected '' (full remat) or 'dots'")
             block_cls = nn.remat(EncoderBlock, policy=policy)
         else:
             block_cls = EncoderBlock

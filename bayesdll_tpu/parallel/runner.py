@@ -276,8 +276,10 @@ class MultiChainRunner:
 
         loss_sum, err_sum, n = 0.0, 0.0, 0.0
         targets, logits_list, logits_all_list = [], [], []
+        i0 = 0  # global batch index (window-size invariance)
         for xs, ys, vs in window_batches(loader):
             xs_j = jnp.asarray(xs)
+            i0_j = jnp.asarray(i0, jnp.int32)
             comp_outs = []
             for (c, cyc, w) in comps:
                 st = self.chain_cycle_stats[c][cyc]
@@ -285,8 +287,9 @@ class MultiChainRunner:
                 la_nb = np.asarray(r._jit_comp_scan(
                     r.target, jnp.asarray(st["mean"]), jnp.asarray(st["var"]),
                     r.net_state, xs_j,
-                    jnp.asarray(1000 * c + cyc, jnp.int32)))
+                    jnp.asarray(1000 * c + cyc, jnp.int32), i0_j))
                 comp_outs.append((w, la_nb))
+            i0 += int(xs.shape[0])
             for i in range(xs.shape[0]):
                 y, valid = ys[i], vs[i]
                 mix = None

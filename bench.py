@@ -20,8 +20,25 @@ import time
 BASELINE_GRAD_EVALS_PER_SEC = 2498.8  # reference cSGHMC, torch CPU, bs=128
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: the ResNet-101 add-on's remote compile
+    took 525 s in round 2 and tripped the budget guard (VERDICT r2 missing
+    #2); with the cache, re-runs load the executable from disk in seconds.
+    The cache dir lives in the repo (untracked) so it persists across
+    rounds on the same machine."""
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the flags: cache is an optimization only
+
+
 def main():
     t_start = time.time()
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from bayesdll_tpu.config import Config
@@ -83,13 +100,28 @@ def main():
     }
     # Big-model add-on only if the headline left time for it: remote-compile
     # latency is variable, and the headline line must ALWAYS be printed
-    # before any runner-side timeout.
+    # before any runner-side timeout.  The add-on itself is also bounded by
+    # the REMAINING budget via SIGALRM — a hang inside the add-on (remote
+    # compile taking minutes) converts to the error path instead of losing
+    # the headline line to a runner-side kill (ADVICE r2).
     budget_s = float(os.environ.get("BENCH_BIG_BUDGET_S", "300"))
-    if time.time() - t_start < budget_s:
+    remaining = budget_s - (time.time() - t_start)
+    if remaining > 10:
+        import signal
+
+        def _alarm(signum, frame):
+            raise TimeoutError(
+                f"add-on exceeded remaining budget ({remaining:.0f}s)")
+
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(int(remaining))
         try:
             record.update(resnet101_mfu())
         except Exception as e:  # never let the add-on kill the headline
             record["resnet101_error"] = f"{type(e).__name__}: {e}"
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
     else:
         record["resnet101_skipped"] = (
             f"headline took {time.time() - t_start:.0f}s > {budget_s:.0f}s "

@@ -31,6 +31,35 @@ def test_window_batches_covers_loader_exactly():
     assert n_windows > 1  # actually windowed
 
 
+def test_eval_metrics_window_invariant():
+    """Reported NLL/err must not depend on FUSED_BYTES_BUDGET (a memory
+    knob): eval keys fold on the GLOBAL batch index, so two different window
+    sizes draw identical MC eps per batch (VERDICT r2 weak #6)."""
+    from tests.helpers import tiny_setup
+
+    hp = {"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.1", "burnin": "0",
+          "thin": "1", "bias": "informative", "nst": "3"}
+
+    def run_eval(budget):
+        from bayesdll_tpu.methods import get_runner_cls
+        cfg, target, theta_init, net_state, train, val, test = tiny_setup(
+            method="sgld", hparams=dict(hp), epochs=1, batch_size=32)
+        runner = get_runner_cls("sgld")(target, theta_init, net_state, cfg)
+        runner.FUSED_BYTES_BUDGET = budget
+        runner.epoch_begin(0)
+        runner.train_one_epoch(0, train)
+        loss, err, *_ = runner.evaluate(test)
+        return loss, err
+
+    one_batch = 32 * (784 * 4 + 4 + 4)  # window of ~1 batch
+    loss_small, err_small = run_eval(one_batch)
+    loss_big, err_big = run_eval(64 * one_batch)  # window spans whole eval
+    # identical MC draws; the only residual is fp32 accumulation order of
+    # the per-window loss sums (different eps draws would differ at ~1e-2)
+    np.testing.assert_allclose(loss_small, loss_big, rtol=1e-6)
+    assert err_small == err_big
+
+
 def test_streaming_eval_bounded_rss():
     """Evaluate an ImageNet-shaped stream (~600 MB of batches generated on
     the fly) with a 32 MB window: the host RSS high-water delta must stay far
