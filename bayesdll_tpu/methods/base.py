@@ -155,6 +155,29 @@ class BaseRunner:
     def _predict_logits(self, pred_state, x, key):
         raise NotImplementedError
 
+    # ---- multi-chain support hooks ------------------------------------------
+    # The multi-chain wrapper (parallel/chains.py) treats the sampler state
+    # as an opaque pytree; these two accessors name the *primary iterate*
+    # vector inside it (theta for samplers/MAP, the variational mean m for
+    # vi/mc_dropout) so chain initialisation can jitter it generically.
+
+    def iterate(self, state):
+        return state.theta
+
+    def with_iterate(self, state, vec):
+        return state.replace(theta=vec)
+
+    def pred_state_from(self, state, net_state):
+        """Pure, vmappable mapping (state, net_state) -> pred_state: the
+        per-chain analog of `pred_state()` (which reads self.state).  Used
+        by the multi-chain combined predictive."""
+        saved_st, saved_ns = self.state, self.net_state
+        self.state, self.net_state = state, net_state
+        try:
+            return self.pred_state()
+        finally:
+            self.state, self.net_state = saved_st, saved_ns
+
     def eval_ready(self, ep: int) -> bool:
         return True
 

@@ -267,11 +267,18 @@ class CyclicalRunnerBase(base.BaseRunner):
             return {c: w / total for c, w in weights.items()}
         return {c: 1.0 / len(weights) for c in weights}
 
+    # Single-chain evaluate() is overridden below (GMM / point paths), but
+    # the generic multi-chain predictive still consumes pred_state_from +
+    # _predict_logits before the first completed cycle: give them the
+    # point-estimate semantics of the reference's evaluate_simple
+    # (reference `methods/csghmc.py:211-244`).
     def pred_state(self):
-        return None  # unused; evaluate() is overridden
+        return self.state.theta
 
-    def _predict_logits(self, pred_state, x, key):
-        raise NotImplementedError  # GMM eval path used instead
+    def _predict_logits(self, theta, x, key):
+        logits, _ = self.target.forward(theta, self.net_state, x,
+                                        train=False)
+        return logits[None]
 
     def _build_comp_scan(self):
         """Build the jitted per-component eval scan

@@ -109,6 +109,12 @@ class Runner(base.BaseRunner):
             (loss, base.err_count(logits, y)),
         )
 
+    def iterate(self, state):
+        return state.m
+
+    def with_iterate(self, state, vec):
+        return state.replace(m=vec)
+
     def pred_state(self):
         return self.state.m
 

@@ -108,6 +108,12 @@ class Runner(base.BaseRunner):
             (loss, base.err_count(logits, y)),
         )
 
+    def iterate(self, state):
+        return state.m
+
+    def with_iterate(self, state, vec):
+        return state.replace(m=vec)
+
     def pred_state(self):
         s = jnp.clip(self.state.s_, min=S_CLAMP)
         return (self.state.m, s * s)

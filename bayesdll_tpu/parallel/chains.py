@@ -29,8 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from bayesdll_tpu.methods import base
-
 
 class MultiChainTrainer:
     """Runs `n_chain` independent copies of a method Runner's sampler step,
@@ -70,10 +68,14 @@ class MultiChainTrainer:
 
         def chain_init(key):
             # jitter the initial iterate so chains decorrelate (the prior
-            # theta_init is shared; chains explore independently from there)
-            st = runner.init_state(runner.state.theta)
-            noise = 0.01 * jax.random.normal(key, st.theta.shape)
-            return st.replace(theta=st.theta + noise)
+            # theta_init is shared; chains explore independently from there).
+            # runner.iterate/with_iterate name the primary vector inside the
+            # state pytree (theta for samplers, the variational mean for
+            # vi/mc_dropout) so any method's state initialises generically.
+            st = runner.init_state(runner.iterate(runner.state))
+            vec = runner.iterate(st)
+            noise = 0.01 * jax.random.normal(key, vec.shape)
+            return runner.with_iterate(st, vec + noise)
 
         # When the mesh spans processes (multi-host), committed local arrays
         # cannot be resharded onto non-addressable shardings; go through host
@@ -146,7 +148,8 @@ class MultiChainTrainer:
         chain's moment accumulators from its own current iterate
         (reference `methods/sgld.py:95-103`, vmapped over chains)."""
         burnin = getattr(self.runner, "burnin", None)
-        if burnin is not None and ep == burnin:
+        if burnin is not None and ep == burnin \
+                and hasattr(self.states, "moments"):
             moments_cls = type(self.states.moments)
             if hasattr(moments_cls, "init_from"):
                 # jitted with the states' own shardings so it runs on the
@@ -201,18 +204,3 @@ class MultiChainTrainer:
         accumulators."""
         return jax.vmap(lambda m: m.mean_var())(self.states.moments)
 
-    def predict_logits(self, x, key, nst: int):
-        """Equal-weight mixture over chains: for each chain draw nst samples
-        from its Gaussian approx; combined logits = MC-average over ALL
-        chain x sample draws (chains are just more posterior samples)."""
-        means, vars_ = self.chain_mean_vars()
-        t = self.runner.target
-
-        def chain_logits(mean, var, ck):
-            return base.gaussian_sample_logits(
-                t, self.runner.net_state, mean, var, x, ck, nst)
-
-        keys = jax.random.split(key, self.n_chain)
-        logits_all = jax.vmap(chain_logits)(means, vars_, keys)  # [C,S,B,K]
-        c, s, b, k = logits_all.shape
-        return logits_all.reshape(c * s, b, k)
