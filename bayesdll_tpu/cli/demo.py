@@ -72,6 +72,11 @@ def parse_args(argv=None):
                    help="write a jax.profiler device trace here")
     p.add_argument("--fused_steps", action="store_true",
                    help="scan whole epochs into one XLA dispatch")
+    p.add_argument("--ckpt_backend", type=str, default="auto",
+                   choices=["auto", "pickle", "orbax"],
+                   help="multi-chain checkpoint backend: auto = orbax when "
+                        "the mesh spans processes (sharded save, no "
+                        "allgather), pickle otherwise")
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--wandb_project", type=str, default="bayesdll-tpu")
     p.add_argument("--wandb_name", type=str, default=None)
@@ -178,6 +183,7 @@ def main(argv=None):
         momentum=args.momentum, seed=args.seed, log_dir=args.log_dir,
         test_eval_freq=args.test_eval_freq, data_root=args.data_root,
         num_chains=args.num_chains, fused_steps=args.fused_steps,
+        ckpt_backend=args.ckpt_backend,
         mesh_shape={"chain": args.num_chains, "data": args.data_parallel},
     )
     cfg.fsdp = args.fsdp

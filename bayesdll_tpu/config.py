@@ -56,6 +56,9 @@ class Config:
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {'chain': 4, 'data': 2}
     compute_dtype: str = "float32"  # forward-pass dtype ('bfloat16' for big nets)
     fused_steps: bool = False  # scan whole epochs into one XLA dispatch
+    # multi-chain checkpoint backend: 'auto' = orbax when the mesh spans
+    # processes (sharded save, no allgather), pickle otherwise
+    ckpt_backend: str = "auto"  # auto | pickle | orbax
 
     def __post_init__(self):
         if isinstance(self.hparams, str):

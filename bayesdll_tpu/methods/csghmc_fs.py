@@ -163,7 +163,7 @@ class Runner(csghmc.Runner):
             per_model = {ep: {"loss": 0.0, "err": 0.0} for ep in eps_sorted}
             ens_loss, ens_err, n = 0.0, 0.0, 0.0
             ens_logits_chunks, targets_chunks = [], []
-            for xs, ys, vs in window_batches(loader):
+            for xs, ys, vs in window_batches(loader, self.FUSED_BYTES_BUDGET):
                 xs_j = jnp.asarray(xs)
                 ys_j = jnp.asarray(ys)
                 vs_j = jnp.asarray(vs)

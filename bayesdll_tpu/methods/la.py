@@ -151,32 +151,40 @@ class Runner(base.BaseRunner):
         mb = self.fisher_microbatch
         theta = self.map_theta
 
-        def one_example_loss(theta_, xi, yi):
-            logits, _ = self.target.forward(theta_, self.net_state, xi[None],
-                                            train=False)
-            return base.ce_loss(logits, yi[None])
+        # Built ONCE and cached on the runner: theta AND net_state enter as
+        # jit arguments, so per-chain calls (multi-chain LA stage 2 loops
+        # chains on host, parallel/runner.py::_chain_laplace) reuse the same
+        # compiled executable instead of paying a 20-40 s remote retrace per
+        # chain (ADVICE r3).
+        if getattr(self, "_jit_fisher_acc", None) is None:
+            def accumulate_body(theta, ns, prec, xb, yb, vb):
+                def one_example_loss(theta_, xi, yi):
+                    logits, _ = self.target.forward(theta_, ns, xi[None],
+                                                    train=False)
+                    return base.ce_loss(logits, yi[None])
 
-        grad_one = jax.grad(one_example_loss)
+                grad_one = jax.grad(one_example_loss)
 
-        def accumulate_body(theta, prec, xb, yb, vb):
-            def chunk_body(p, chunk):
-                xc, yc, vc = chunk
-                g = jax.vmap(lambda xi, yi: grad_one(theta, xi, yi))(xc, yc)
-                # weight by the valid mask: padded tail examples of the
-                # eval-view loader must not contribute grad^2
-                return p + jnp.sum(g * g * vc[:, None], axis=0), None
-            nb = xb.shape[0] // mb
-            xcs = xb[:nb * mb].reshape((nb, mb) + xb.shape[1:])
-            ycs = yb[:nb * mb].reshape((nb, mb))
-            vcs = vb[:nb * mb].reshape((nb, mb))
-            prec, _ = jax.lax.scan(chunk_body, prec, (xcs, ycs, vcs))
-            # remainder examples one at a time (static count)
-            for i in range(nb * mb, xb.shape[0]):
-                g = grad_one(theta, xb[i], yb[i])
-                prec = prec + g * g * vb[i]
-            return prec
+                def chunk_body(p, chunk):
+                    xc, yc, vc = chunk
+                    g = jax.vmap(
+                        lambda xi, yi: grad_one(theta, xi, yi))(xc, yc)
+                    # weight by the valid mask: padded tail examples of the
+                    # eval-view loader must not contribute grad^2
+                    return p + jnp.sum(g * g * vc[:, None], axis=0), None
+                nb = xb.shape[0] // mb
+                xcs = xb[:nb * mb].reshape((nb, mb) + xb.shape[1:])
+                ycs = yb[:nb * mb].reshape((nb, mb))
+                vcs = vb[:nb * mb].reshape((nb, mb))
+                prec, _ = jax.lax.scan(chunk_body, prec, (xcs, ycs, vcs))
+                # remainder examples one at a time (static count)
+                for i in range(nb * mb, xb.shape[0]):
+                    g = grad_one(theta, xb[i], yb[i])
+                    prec = prec + g * g * vb[i]
+                return prec
 
-        accumulate = jax.jit(self._swap_target(accumulate_body))
+            self._jit_fisher_acc = jax.jit(self._swap_target(accumulate_body))
+        accumulate = self._jit_fisher_acc
         # Fisher accumulates over PLAIN train examples: un-augmented,
         # unshuffled (reference `methods/la.py:375-387` iterates the raw
         # train set) — the train-time crop/flip augmentation must be off or
@@ -185,9 +193,9 @@ class Runner(base.BaseRunner):
         loader = train_loader.eval_view() \
             if hasattr(train_loader, "eval_view") else train_loader
         for xb, yb, valid in loader:
-            precision = accumulate(self.target, theta, precision,
-                                   jnp.asarray(xb), jnp.asarray(yb),
-                                   jnp.asarray(valid))
+            precision = accumulate(self.target, theta, self.net_state,
+                                   precision, jnp.asarray(xb),
+                                   jnp.asarray(yb), jnp.asarray(valid))
         return 1.0 / precision
 
     def extra_ckpt(self):

@@ -98,35 +98,41 @@ def main():
         "unit": "gradient-evals/sec/chip (bs=128, MLP 784-3x1000-10)",
         "vs_baseline": round(grad_evals_per_sec / BASELINE_GRAD_EVALS_PER_SEC, 2),
     }
-    # Big-model add-on only if the headline left time for it: remote-compile
-    # latency is variable, and the headline line must ALWAYS be printed
-    # before any runner-side timeout.  The add-on itself is also bounded by
-    # the REMAINING budget via SIGALRM — a hang inside the add-on (remote
-    # compile taking minutes) converts to the error path instead of losing
-    # the headline line to a runner-side kill (ADVICE r2).
+    # Big-model add-on only if the headline left time for it.  The headline
+    # line prints BEFORE the add-on is attempted: the SIGALRM guard below
+    # only fires between Python bytecodes, so a hang inside a C extension
+    # (remote compile taking minutes) can outlive it until a runner-side
+    # kill — printing first means that kill can no longer lose the headline
+    # (ADVICE r3).  If the add-on completes, a second ENRICHED line (the
+    # same record plus the MFU keys) prints after it; a last-JSON-line
+    # parser picks up the enriched record, a first-line parser still gets
+    # the headline.
     budget_s = float(os.environ.get("BENCH_BIG_BUDGET_S", "300"))
     remaining = budget_s - (time.time() - t_start)
-    if remaining > 10:
-        import signal
-
-        def _alarm(signum, frame):
-            raise TimeoutError(
-                f"add-on exceeded remaining budget ({remaining:.0f}s)")
-
-        old = signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(int(remaining))
-        try:
-            record.update(resnet101_mfu())
-        except Exception as e:  # never let the add-on kill the headline
-            record["resnet101_error"] = f"{type(e).__name__}: {e}"
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old)
-    else:
+    if remaining <= 10:
         record["resnet101_skipped"] = (
-            f"headline took {time.time() - t_start:.0f}s > {budget_s:.0f}s "
-            f"budget (remote-compile variance)")
-    print(json.dumps(record))
+            f"only {remaining:.0f}s of the {budget_s:.0f}s budget left "
+            f"after the headline (headline took {time.time() - t_start:.0f}s;"
+            f" remote-compile variance)")
+        print(json.dumps(record), flush=True)
+        return
+    print(json.dumps(record), flush=True)
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError(
+            f"add-on exceeded remaining budget ({remaining:.0f}s)")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(int(remaining))
+    try:
+        record.update(resnet101_mfu())
+    except Exception as e:  # never let the add-on kill the bench
+        record["resnet101_error"] = f"{type(e).__name__}: {e}"
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    print(json.dumps(record), flush=True)
 
 
 def resnet101_mfu(bs: int = 256, steps: int = 20):

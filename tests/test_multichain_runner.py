@@ -160,3 +160,91 @@ def test_cli_single_chain_data_parallel(tmp_path):
     r_dp = demo.main(common + ["--log_dir", str(tmp_path / "dp"),
                                "--data_parallel", "4"])
     assert "nll" in r_dp
+
+
+def _mc_run(method, hp, fused, *, epochs=2, num_cycles=None, n_chain=2,
+            n_data=2):
+    kw = {"num_cycles": num_cycles} if num_cycles else {}
+    cfg, target, theta_init, net_state, train, val, test = tiny_setup(
+        method=method, hparams=dict(hp), epochs=epochs, batch_size=32,
+        lr=2e-2, n_train=256, **kw)
+    cfg.fused_steps = fused
+    r = get_runner_cls(method)(target, theta_init, net_state, cfg)
+    mc = MultiChainRunner(r, make_mesh(n_chain, n_data))
+    results = mc.train(train, val, test)
+    return mc, results
+
+
+def test_multichain_fused_matches_per_batch_sgld():
+    """The fused lax.scan segment path (chains.py::run_steps) must reproduce
+    the per-batch multi-chain path exactly: same per-chain PRNG folds, same
+    scalars (VERDICT r3 next #4)."""
+    hp = {"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.1", "burnin": "1",
+          "thin": "2", "bias": "informative", "nst": "2"}
+    mc_f, res_f = _mc_run("sgld", hp, True)
+    mc_p, res_p = _mc_run("sgld", hp, False)
+    np.testing.assert_allclose(np.asarray(mc_f.trainer.states.theta),
+                               np.asarray(mc_p.trainer.states.theta),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mc_f.trainer.states.moments.cnt),
+                                  np.asarray(mc_p.trainer.states.moments.cnt))
+    np.testing.assert_allclose(
+        np.asarray(mc_f.trainer.states.moments.mom1),
+        np.asarray(mc_p.trainer.states.moments.mom1), rtol=1e-5, atol=1e-6)
+    assert abs(res_f["nll"] - res_p["nll"]) < 1e-4
+
+
+def test_multichain_fused_matches_per_batch_csghmc():
+    """Cyclical multi-chain under fusion: segments cut at cycle boundaries so
+    per-chain cycle stats (snapshot moments, likelihoods) are identical."""
+    hp = {"prior_sig": "0.05", "Ninflate": "1.0", "nd": "0.001", "thin": "2",
+          "bias": "informative", "nst": "2", "momentum_decay": "0.05"}
+    mc_f, _ = _mc_run("csghmc", hp, True, epochs=4, num_cycles=2)
+    mc_p, _ = _mc_run("csghmc", hp, False, epochs=4, num_cycles=2)
+    np.testing.assert_allclose(np.asarray(mc_f.trainer.states.theta),
+                               np.asarray(mc_p.trainer.states.theta),
+                               rtol=1e-5, atol=1e-6)
+    assert len(mc_f.chain_cycle_stats) == len(mc_p.chain_cycle_stats) == 2
+    for sf, sp in zip(mc_f.chain_cycle_stats, mc_p.chain_cycle_stats):
+        assert set(sf) == set(sp)
+        for cyc in sf:
+            assert sf[cyc]["n"] == sp[cyc]["n"]
+            np.testing.assert_allclose(sf[cyc]["mean"], sp[cyc]["mean"],
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_gmm_eval_keys_independent_across_chains():
+    """Regression for the multi-chain GMM key-domain collision (VERDICT r3
+    weak #5): under the old single-fold scheme `(i0+i)*1000 + comp_id`,
+    comp_id=1001 (chain 1, cycle 1) at batch 0 and comp_id=1 (chain 0,
+    cycle 1) at batch 1 folded the SAME key (1001) — chain 1's MC eps at
+    batch j equalled chain 0's at batch j+1.  The nested fold
+    (cyclical_base.py::comp_scan_body) must give them independent draws."""
+    import jax.numpy as jnp
+
+    hp = {"prior_sig": "0.05", "Ninflate": "1.0", "nd": "0.001", "thin": "2",
+          "bias": "informative", "nst": "4", "momentum_decay": "0.05"}
+    cfg, target, theta_init, net_state, train, val, test = tiny_setup(
+        method="csghmc", hparams=hp, epochs=2, batch_size=16, lr=2e-2,
+        n_train=64, num_cycles=1)
+    r = get_runner_cls("csghmc")(target, theta_init, net_state, cfg)
+    r._build_comp_scan()
+    mean = np.zeros_like(np.asarray(theta_init))
+    var = np.full_like(mean, 0.25)  # wide: MC noise dominates the logits
+    x = np.random.RandomState(0).randn(16, 784).astype(np.float32)
+    xs = jnp.asarray(np.stack([x, x]))  # two IDENTICAL batches
+    i0 = jnp.asarray(0, jnp.int32)
+    la_chain1 = np.asarray(r._jit_comp_scan(
+        r.target, jnp.asarray(mean), jnp.asarray(var), r.net_state, xs,
+        jnp.asarray(1001, jnp.int32), i0))
+    la_chain0 = np.asarray(r._jit_comp_scan(
+        r.target, jnp.asarray(mean), jnp.asarray(var), r.net_state, xs,
+        jnp.asarray(1, jnp.int32), i0))
+    # old collision: chain1 batch 0 == chain0 batch 1 (bit-identical eps)
+    assert np.abs(la_chain1[0] - la_chain0[1]).max() > 1e-6
+    # determinism sanity: same comp at the same global batch index reproduces
+    np.testing.assert_array_equal(
+        la_chain1,
+        np.asarray(r._jit_comp_scan(
+            r.target, jnp.asarray(mean), jnp.asarray(var), r.net_state, xs,
+            jnp.asarray(1001, jnp.int32), i0)))

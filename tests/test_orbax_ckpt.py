@@ -28,3 +28,36 @@ def test_orbax_state_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored.v),
                                   np.asarray(runner.state.v))
     assert int(restored.moments.cnt) == int(runner.state.moments.cnt)
+
+
+def test_orbax_multichain_roundtrip(tmp_path):
+    """`--ckpt_backend orbax` on the multi-chain runner: sharded save into a
+    checkpoint directory + restore into a FRESH runner reproduces the chain
+    states exactly (single-process mirror of the 2-process harness check;
+    VERDICT r3 missing #5)."""
+    from bayesdll_tpu.parallel import make_mesh
+    from bayesdll_tpu.parallel.runner import MultiChainRunner
+
+    hp = {"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.1", "burnin": "0",
+          "thin": "2", "bias": "informative", "nst": "2"}
+
+    def fresh(workdir):
+        cfg, target, theta_init, net_state, train, val, test = tiny_setup(
+            method="sgld", hparams=dict(hp), epochs=1, batch_size=32,
+            lr=1e-2, n_train=256, ckpt_backend="orbax")
+        r = get_runner_cls("sgld")(target, theta_init, net_state, cfg)
+        return MultiChainRunner(r, make_mesh(2, 2), workdir=workdir), \
+            train, val, test
+
+    mc, train, val, test = fresh(str(tmp_path))
+    mc.train(train, val, test)
+    assert mc._use_orbax()
+    path = mc.save_ckpt(0)
+    assert path.endswith("chains_ckpt_orbax")
+    theta = np.asarray(mc.trainer.states.theta)
+
+    mc2, *_ = fresh(str(tmp_path / "other"))
+    ep = mc2.load_ckpt(path)
+    assert ep == 0
+    np.testing.assert_array_equal(np.asarray(mc2.trainer.states.theta), theta)
+    assert mc2.trainer.bi == mc.trainer.bi

@@ -169,7 +169,7 @@ LR_OVERRIDE = {"adam_sghmc": 5e-3, "adam_csghmc": 5e-3}
 
 # ------------------------------------------------------------- reference ----
 
-def run_reference(method, train_np, test_np, workdir):
+def run_reference(method, train_np, test_np, workdir, seed=None):
     import torch
     from torch.utils.data import DataLoader, TensorDataset
 
@@ -177,7 +177,8 @@ def run_reference(method, train_np, test_np, workdir):
     small_nets = _load_ref("ref_small_nets", "networks/small_nets.py")
     ref_mod = _load_ref(f"ref_{method}", f"methods/{method}.py")
 
-    torch.manual_seed(CONFIG["seed"])
+    seed = CONFIG["seed"] if seed is None else seed
+    torch.manual_seed(seed)
     net = small_nets.MLP(input_dim=784, output_dim=10, width=100, depth=2)
     net.readout_name = "classifier"
 
@@ -193,9 +194,11 @@ def run_reference(method, train_np, test_np, workdir):
         method=method, hparams=HPARAMS[method], pretrained=None,
         dataset="synthetic", backbone="mlp", val_heldout=0.0,
         ece_num_bins=15, epochs=CONFIG["epochs"],
-        batch_size=CONFIG["batch_size"], lr=CONFIG["lr"],
-        lr_head=CONFIG["lr_head"], momentum=CONFIG["momentum"],
-        seed=CONFIG["seed"], log_dir=workdir, test_eval_freq=1,
+        batch_size=CONFIG["batch_size"],
+        lr=LR_OVERRIDE.get(method, CONFIG["lr"]),
+        lr_head=LR_OVERRIDE.get(method, CONFIG["lr_head"]),
+        momentum=CONFIG["momentum"],
+        seed=seed, log_dir=workdir, test_eval_freq=1,
         device="cpu", ND=len(xtr) - (len(xtr) % CONFIG["batch_size"]),
         use_wandb=False, num_cycles=2, proportion_exploration=0.5,
         full_sample=False, clip_grad=None, num_classes=10,
@@ -215,7 +218,7 @@ def run_reference(method, train_np, test_np, workdir):
 
 # ------------------------------------------------------------------ ours ----
 
-def torch_init_theta(width=100, depth=2):
+def torch_init_theta(width=100, depth=2, seed=None):
     """Flat theta matching the reference run's exact initial torch weights
     (same torch.manual_seed + construction as run_reference) so both
     implementations start from the identical point — init-scale differences
@@ -225,7 +228,7 @@ def torch_init_theta(width=100, depth=2):
 
     _install_reference_stubs()
     small_nets = _load_ref("ref_small_nets", "networks/small_nets.py")
-    torch.manual_seed(CONFIG["seed"])
+    torch.manual_seed(CONFIG["seed"] if seed is None else seed)
     net = small_nets.MLP(input_dim=784, output_dim=10, width=width,
                          depth=depth)
     sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
@@ -239,7 +242,7 @@ def torch_init_theta(width=100, depth=2):
     return theta
 
 
-def run_ours(method, train_np, test_np, workdir):
+def run_ours(method, train_np, test_np, workdir, seed=None):
     import jax
     from bayesdll_tpu.config import Config
     from bayesdll_tpu.core.prior import make_flat_target
@@ -247,11 +250,13 @@ def run_ours(method, train_np, test_np, workdir):
     from bayesdll_tpu.methods import get_runner_cls
     from bayesdll_tpu.models import create_backbone
 
+    seed = CONFIG["seed"] if seed is None else seed
     cfg = Config(method=method, hparams=dict(HPARAMS[method]),
                  dataset="synthetic", backbone="mlp_mnist",
                  epochs=CONFIG["epochs"], batch_size=CONFIG["batch_size"],
-                 lr=CONFIG["lr"], lr_head=CONFIG["lr_head"],
-                 momentum=CONFIG["momentum"], seed=CONFIG["seed"],
+                 lr=LR_OVERRIDE.get(method, CONFIG["lr"]),
+                 lr_head=LR_OVERRIDE.get(method, CONFIG["lr_head"]),
+                 momentum=CONFIG["momentum"], seed=seed,
                  val_heldout=0.0, num_cycles=2, proportion_exploration=0.5)
     (xtr, ytr), (xte, yte) = train_np, test_np
     train = ArrayLoader(xtr, ytr.astype(np.int32), cfg.batch_size,
@@ -264,7 +269,8 @@ def run_ours(method, train_np, test_np, workdir):
     target, theta_init, net_state = make_flat_target(
         model, (784,), nd_size=nd, num_classes=10,
         rng=jax.random.PRNGKey(cfg.seed))
-    theta_init = torch_init_theta()  # identical start to the reference run
+    # identical start to the reference run AT THIS SEED
+    theta_init = torch_init_theta(seed=seed)
     runner = get_runner_cls(method)(target, theta_init, net_state, cfg,
                                     workdir=workdir)
     results = runner.train(train, None, test)
@@ -272,51 +278,115 @@ def run_ours(method, train_np, test_np, workdir):
             "ece": results["ece"]}
 
 
+def _fmt(vals):
+    """mean+-spread over seeds: 'm +- s' (population std), or the bare value
+    for a single seed."""
+    vals = np.asarray(vals, dtype=np.float64)
+    if len(vals) == 1:
+        return f"{vals[0]:.4f}"
+    return f"{vals.mean():.4f}\u00b1{vals.std():.4f}"
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--methods", type=str,
                    default="vanilla,sgld,vi,mc_dropout,sghmc,csghmc,"
                            "adam_sghmc,csgld,adam_csghmc,csghmc_fs,la")
+    p.add_argument("--seeds", type=int, default=5,
+                   help="training seeds per method per implementation "
+                        "(VERDICT r3 next #3: >=5-seed spreads; data stays "
+                        "fixed, seed varies init/shuffle/sampler noise)")
     args = p.parse_args()
     methods = args.methods.split(",")
 
+    import json
+    import subprocess
+    cache_path = os.path.join(REPO, ".parity_cache.json")
+    cache = {}
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            cache = json.load(f)
+
+    def run_isolated(impl, m, seed):
+        """One (impl, method, seed) run in a SUBPROCESS: the reference
+        mutates global torch RNG + sys.modules, and a fresh process per run
+        keeps both implementations hermetic across the sweep."""
+        key = f"{m}:{impl}:{seed}"
+        if key in cache:
+            return cache[key]
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_one",
+             f"{impl},{m},{seed}"],
+            capture_output=True, text=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        last = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not last:
+            raise RuntimeError(
+                f"{key} produced no result:\n{out.stdout[-2000:]}"
+                f"\n{out.stderr[-2000:]}")
+        cache[key] = json.loads(last[-1])
+        with open(cache_path, "w") as f:
+            json.dump(cache, f, indent=0)
+        return cache[key]
+
     rows = []
     for m in methods:
-        train_np, test_np = make_data(noise=DATA_NOISE.get(m, 3.0))
-        with tempfile.TemporaryDirectory() as wd_ref, \
-                tempfile.TemporaryDirectory() as wd_ours:
-            print(f"=== {m}: reference (torch) ...", flush=True)
-            ref = run_reference(m, train_np, test_np, wd_ref)
+        refs, ourss = [], []
+        for seed in range(args.seeds):
+            print(f"=== {m} seed {seed}: reference (torch) ...", flush=True)
+            ref = run_isolated("ref", m, seed)
             print(f"    reference: {ref}", flush=True)
-            print(f"=== {m}: bayesdll_tpu ...", flush=True)
-            ours = run_ours(m, train_np, test_np, wd_ours)
+            print(f"=== {m} seed {seed}: bayesdll_tpu ...", flush=True)
+            ours = run_isolated("ours", m, seed)
             print(f"    ours:      {ours}", flush=True)
-        rows.append((m, ref, ours))
+            refs.append(ref)
+            ourss.append(ours)
+        rows.append((m, refs, ourss))
 
     lines = [
-        "# PARITY — bayesdll_tpu vs reference (same synthetic task)",
+        "# PARITY \u2014 bayesdll_tpu vs reference (same synthetic task)",
         "",
         "Protocol: identical data (class-prototype gaussian task, 4096 train /"
         " 1024 test), matched configs (MLP 784-2x100-10, "
         f"ep{CONFIG['epochs']} bs{CONFIG['batch_size']} lr{CONFIG['lr']}); "
         "reference ran via its own Runner code at /root/reference on torch "
         "CPU. Metrics are posterior-predictive test NLL / error / ECE "
-        "(reference `calibration.py:242-249`). Agreement bar: within "
-        "Monte-Carlo error of the stochastic samplers (BASELINE.md).",
+        "(reference `calibration.py:242-249`), reported as mean\u00b1std "
+        f"over {args.seeds} training seeds of BOTH implementations (same "
+        "per-seed torch init, data fixed; seed varies init/shuffle/sampler "
+        "noise). Agreement bar: the implementations' means within each "
+        "other's seed spread (BASELINE.md: within Monte-Carlo error).",
         "",
-        "| method | NLL ref | NLL ours | err ref | err ours | ECE ref | ECE ours |",
-        "|---|---|---|---|---|---|---|",
+        "| method | seeds | NLL ref | NLL ours | err ref | err ours "
+        "| ECE ref | ECE ours |",
+        "|---|---|---|---|---|---|---|---|",
     ]
-    for m, ref, ours in rows:
-        lines.append(
-            f"| {m} | {ref['nll']:.4f} | {ours['nll']:.4f} "
-            f"| {ref['err']:.4f} | {ours['err']:.4f} "
-            f"| {ref['ece']:.4f} | {ours['ece']:.4f} |")
+    for m, refs, ourss in rows:
+        cols = []
+        for metric in ("nll", "err", "ece"):
+            cols.append(_fmt([r[metric] for r in refs]))
+            cols.append(_fmt([o[metric] for o in ourss]))
+        lines.append(f"| {m} | {len(refs)} | " + " | ".join(cols) + " |")
     out = "\n".join(lines) + "\n"
     with open(os.path.join(REPO, "PARITY.md"), "w") as f:
         f.write(out)
     print(out)
 
 
+def _one(spec):
+    """Subprocess entry: run one (impl, method, seed) and print JSON."""
+    import json
+    impl, m, seed = spec.split(",")
+    seed = int(seed)
+    train_np, test_np = make_data(noise=DATA_NOISE.get(m, 3.0))
+    with tempfile.TemporaryDirectory() as wd:
+        fn = run_reference if impl == "ref" else run_ours
+        res = fn(m, train_np, test_np, wd, seed=seed)
+    print(json.dumps(res), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--_one" in sys.argv:
+        _one(sys.argv[sys.argv.index("--_one") + 1])
+    else:
+        main()
