@@ -17,8 +17,11 @@ state_dicts convert by stacking per-layer tensors
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,14 +43,20 @@ class MHSA(nn.Module):
     heads: int
     dtype: str = "float32"
     fused: bool = True
+    constrain_inner: Any = None
 
     @nn.compact
     def __call__(self, x):
         dt = jnp.dtype(self.dtype)
+        ci = self.constrain_inner or (lambda a: a)
         b, t, d = x.shape
         h = self.heads
         hd = d // h
         qkv = nn.Dense(3 * d, name="qkv", dtype=dt)(x)  # torch in_proj
+        # checkpoint_name marks for the 'names' remat policy: save exactly
+        # the big matmul outputs, recompute only elementwise (LN/gelu/
+        # softmax) on the backward pass
+        qkv = ci(jax.ad_checkpoint.checkpoint_name(qkv, "qkv"))
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         if self.fused:
@@ -56,6 +65,7 @@ class MHSA(nn.Module):
             k = k.reshape(b, t, h, hd)
             v = v.reshape(b, t, h, hd)
             y = jax.nn.dot_product_attention(q, k, v)
+            y = jax.ad_checkpoint.checkpoint_name(y, "attn_out")
             y = y.reshape(b, t, d).astype(dt)
             return nn.Dense(d, name="out", dtype=dt)(y)
 
@@ -68,30 +78,49 @@ class MHSA(nn.Module):
         att = nn.softmax(att, axis=-1)
         y = jnp.einsum("bhqk,bhkd->bhqd", att, v,
                        preferred_element_type=jnp.float32)
+        y = jax.ad_checkpoint.checkpoint_name(y, "attn_out")
         y = y.transpose(0, 2, 1, 3).reshape(b, t, d).astype(dt)
         return nn.Dense(d, name="out", dtype=dt)(y)
 
 
 class EncoderBlock(nn.Module):
-    """Pre-LN transformer block in scan form: (carry, _) -> (carry, None)."""
+    """Pre-LN transformer block in scan form: (carry, _) -> (carry, None).
+
+    `constrain_inner` / `constrain_outer` are optional sharding-constraint
+    callables (Megatron-style tensor parallelism over a 'model' mesh axis,
+    built by `make_tp_constraints`): the WIDE hidden activations
+    ([B,T,3D] qkv, [B,T,4D] mlp) are constrained to shard their feature dim
+    over 'model', and the block carry [B,T,D] to be replicated over it.
+    XLA's SPMD propagation then infers column-parallel qkv/mlp_dense_0 and
+    row-parallel out/mlp_dense_1 weight shardings and inserts exactly one
+    psum per half-block on the carry — the standard TP comm pattern riding
+    ICI — with no change to the (flat-vector) sampler code.
+    """
 
     dim: int
     heads: int
     mlp_dim: int
     dtype: str = "float32"
     fused_attention: bool = True
+    constrain_inner: Any = None
+    constrain_outer: Any = None
 
     @nn.compact
     def __call__(self, x, _=None):
         dt = jnp.dtype(self.dtype)
+        ci = self.constrain_inner or (lambda a: a)
+        co = self.constrain_outer or (lambda a: a)
         y = nn.LayerNorm(epsilon=1e-6, name="ln_1", dtype=dt)(x)
-        x = x + MHSA(self.dim, self.heads, dtype=self.dtype,
-                     fused=self.fused_attention, name="attention")(y)
+        x = co(x + MHSA(self.dim, self.heads, dtype=self.dtype,
+                        fused=self.fused_attention,
+                        constrain_inner=self.constrain_inner,
+                        name="attention")(y))
         y = nn.LayerNorm(epsilon=1e-6, name="ln_2", dtype=dt)(x)
         y = nn.Dense(self.mlp_dim, name="mlp_dense_0", dtype=dt)(y)
+        y = ci(jax.ad_checkpoint.checkpoint_name(y, "mlp_hidden"))
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="mlp_dense_1", dtype=dt)(y)
-        return x + y, None
+        return co(x + y), None
 
 
 class ViT(nn.Module):
@@ -107,8 +136,18 @@ class ViT(nn.Module):
     # remat_policy="dots": save matmul outputs, recompute only elementwise
     # ops (LN/gelu/softmax) on the backward pass — most of remat's memory
     # win at a fraction of the recompute FLOPs.
+    # remat_policy="names": save exactly the checkpoint_name-marked tensors
+    # (qkv, attn_out, mlp_hidden) — an explicit middle ground between
+    # "dots" and full remat whose saved set is independent of how the
+    # attention core lowers (the fused dot_product_attention path may not
+    # expose its internal dots to dots_saveable).
     remat_policy: str = ""
     fused_attention: bool = True  # jax.nn.dot_product_attention core
+    scan_unroll: int = 1  # nn.scan unroll factor (cross-layer fusion window)
+    # Megatron-style tensor parallelism: sharding-constraint callables from
+    # `make_tp_constraints(mesh)` — (inner, outer) for wide hiddens / carries
+    constrain_inner: Any = None
+    constrain_outer: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -128,16 +167,21 @@ class ViT(nn.Module):
                          nn.initializers.normal(stddev=0.02),
                          (1, t + 1, self.dim)).astype(dt)
         x = x + pos
+        if self.constrain_outer is not None:
+            x = self.constrain_outer(x)
 
         if self.remat:
             if self.remat_policy == "dots":
                 policy = jax.checkpoint_policies.dots_saveable
+            elif self.remat_policy == "names":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "qkv", "attn_out", "mlp_hidden")
             elif self.remat_policy == "":
                 policy = None  # full remat: recompute everything
             else:
                 raise ValueError(
                     f"unknown remat_policy {self.remat_policy!r}; "
-                    "expected '' (full remat) or 'dots'")
+                    "expected '' (full remat), 'dots', or 'names'")
             block_cls = nn.remat(EncoderBlock, policy=policy)
         else:
             block_cls = EncoderBlock
@@ -146,8 +190,11 @@ class ViT(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.depth,
+            unroll=self.scan_unroll,
         )(dim=self.dim, heads=self.heads, mlp_dim=self.mlp_dim,
           dtype=self.dtype, fused_attention=self.fused_attention,
+          constrain_inner=self.constrain_inner,
+          constrain_outer=self.constrain_outer,
           name="layers")
         x, _ = scanned(x, None)
 
@@ -166,7 +213,10 @@ def _vit_l_32(num_classes: int = 1000, **kw):
                 dtype=kw.get("dtype", "float32"),
                 remat=bool(kw.get("remat", False)),
                 remat_policy=kw.get("remat_policy", ""),
-                fused_attention=bool(kw.get("fused_attention", True)))
+                fused_attention=bool(kw.get("fused_attention", True)),
+                scan_unroll=int(kw.get("scan_unroll", 1)),
+                constrain_inner=kw.get("constrain_inner"),
+                constrain_outer=kw.get("constrain_outer"))
     return model, (224, 224, 3), {"has_batch_stats": False,
                                   "has_dropout": False}
 
@@ -178,6 +228,9 @@ def _vit_b_16(num_classes: int = 1000, **kw):
                 dtype=kw.get("dtype", "float32"),
                 remat=bool(kw.get("remat", False)),
                 remat_policy=kw.get("remat_policy", ""),
-                fused_attention=bool(kw.get("fused_attention", True)))
+                fused_attention=bool(kw.get("fused_attention", True)),
+                scan_unroll=int(kw.get("scan_unroll", 1)),
+                constrain_inner=kw.get("constrain_inner"),
+                constrain_outer=kw.get("constrain_outer"))
     return model, (224, 224, 3), {"has_batch_stats": False,
                                   "has_dropout": False}

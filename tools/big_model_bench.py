@@ -29,9 +29,10 @@ from bayesdll_tpu.utils.profiling import (  # noqa: E402
 
 
 def main(backbone="resnet101", batch=64, dtype="bfloat16", steps=20,
-         remat=False, remat_policy=""):
+         remat=False, remat_policy="", scan_unroll=1):
     print(f"devices: {jax.devices()}  backbone={backbone} bs={batch} "
-          f"dtype={dtype} remat={remat} policy={remat_policy!r}")
+          f"dtype={dtype} remat={remat} policy={remat_policy!r} "
+          f"unroll={scan_unroll}")
     cfg = Config(
         method="csghmc",
         hparams={"prior_sig": "1.0", "Ninflate": "1.0", "nd": "1.0",
@@ -42,7 +43,7 @@ def main(backbone="resnet101", batch=64, dtype="bfloat16", steps=20,
     )
     model, input_shape, meta = create_backbone(
         backbone, num_classes=37, dtype=dtype, remat=remat,
-        remat_policy=remat_policy)
+        remat_policy=remat_policy, scan_unroll=scan_unroll)
     t0 = time.time()
     target, theta_init, net_state = make_flat_target(
         model, input_shape, nd_size=3680, num_classes=37,
@@ -120,4 +121,5 @@ if __name__ == "__main__":
          batch=int(a[1]) if len(a) > 1 else 64,
          dtype=a[2] if len(a) > 2 else "bfloat16",
          remat=(len(a) > 3 and a[3] in ("1", "remat", "true")),
-         remat_policy=a[4] if len(a) > 4 else "")
+         remat_policy=a[4] if len(a) > 4 else "",
+         scan_unroll=int(a[5]) if len(a) > 5 else 1)

@@ -377,6 +377,11 @@ def _one(spec):
     """Subprocess entry: run one (impl, method, seed) and print JSON."""
     import json
     impl, m, seed = spec.split(",")
+    if impl == "ours":
+        # the env var alone is not honored when the axon TPU plugin is
+        # present; the config update is required (CLAUDE.md)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     seed = int(seed)
     train_np, test_np = make_data(noise=DATA_NOISE.get(m, 3.0))
     with tempfile.TemporaryDirectory() as wd:
