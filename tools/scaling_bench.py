@@ -29,6 +29,14 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--width", type=int, default=256)
+    p.add_argument("--fused", action="store_true",
+                   help="use the scanned run_steps segment path (one XLA "
+                        "dispatch per --steps batches) — the production "
+                        "multi-chain path")
+    p.add_argument("--overhead", action="store_true",
+                   help="measure MultiChainRunner(1 chain) wrapper overhead "
+                        "vs BaseRunner on the same device (VERDICT r3 "
+                        "next #4a)")
     args = p.parse_args()
 
     if args.cpu:
@@ -52,7 +60,7 @@ def main():
     n_dev = len(jax.devices())
     print(f"devices: {n_dev} x {jax.devices()[0].platform}")
 
-    def run(n_chain):
+    def build(n_chain=None):
         cfg = Config(method="sgld",
                      hparams={"prior_sig": "1.0", "Ninflate": "1.0",
                               "nd": "0.1", "burnin": "0", "thin": "1",
@@ -65,33 +73,91 @@ def main():
             model, input_shape, nd_size=4096, num_classes=10,
             rng=jax.random.PRNGKey(0))
         runner = get_runner_cls("sgld")(target, theta_init, net_state, cfg)
+        if n_chain is None:
+            return runner
         mesh = make_mesh(n_chain, 1)
-        trainer = MultiChainTrainer(runner, mesh)
+        return MultiChainTrainer(runner, mesh)
+
+    def time_chain(fn, fence):
+        """Median-of-3 timed trials of fn(); fence() forces a real sync."""
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            fence()
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[1]
+
+    def run(n_chain):
+        trainer = build(n_chain)
         rng = np.random.RandomState(0)
         x = rng.randn(n_chain, args.batch, 784).astype(np.float32)
         y = rng.randint(0, 10, (n_chain, args.batch)).astype(np.int32)
         sc = {"collect": True}
-        trainer.step(x, y, sc)
-        jax.block_until_ready(trainer.states)
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
+        if args.fused:
+            xs = np.broadcast_to(x, (args.steps,) + x.shape).copy()
+            ys = np.broadcast_to(y, (args.steps,) + y.shape).copy()
+            trainer.run_steps(0, xs, ys, trainer.bi)  # compile
+            jax.block_until_ready(trainer.states)
+            dt = time_chain(
+                lambda: trainer.run_steps(0, xs, ys, trainer.bi),
+                lambda: jax.block_until_ready(trainer.states))
+        else:
             trainer.step(x, y, sc)
-        jax.block_until_ready(trainer.states)
-        dt = time.perf_counter() - t0
+            jax.block_until_ready(trainer.states)
+
+            def loop():
+                for _ in range(args.steps):
+                    trainer.step(x, y, sc)
+            dt = time_chain(loop,
+                            lambda: jax.block_until_ready(trainer.states))
         return n_chain * args.steps / dt  # chain-steps per second
+
+    if args.overhead:
+        # (a) BaseRunner fused scan vs (b) MultiChainTrainer(1 chain) fused
+        # scan — the wrapper must cost <10% (VERDICT r3 next #4)
+        runner = build()
+        rng = np.random.RandomState(0)
+        xs = rng.randn(args.steps, args.batch, 784).astype(np.float32)
+        ys = rng.randint(0, 10, (args.steps, args.batch)).astype(np.int32)
+        xs_j, ys_j = jnp.asarray(xs), jnp.asarray(ys)
+        runner.run_steps(0, xs_j, ys_j, 0)
+        jax.block_until_ready(runner.state.theta)
+        dt_base = time_chain(
+            lambda: runner.run_steps(0, xs_j, ys_j, runner.bi),
+            lambda: jax.block_until_ready(runner.state.theta))
+
+        trainer = build(1)
+        xs1 = xs[:, None]
+        ys1 = ys[:, None]
+        trainer.run_steps(0, xs1, ys1, trainer.bi)
+        jax.block_until_ready(trainer.states)
+        dt_mc = time_chain(
+            lambda: trainer.run_steps(0, xs1, ys1, trainer.bi),
+            lambda: jax.block_until_ready(trainer.states))
+        ovh = (dt_mc - dt_base) / dt_base * 100
+        print(f"BaseRunner fused: {dt_base * 1000:.1f} ms / "
+              f"{args.steps} steps; MultiChain(1): {dt_mc * 1000:.1f} ms; "
+              f"wrapper overhead = {ovh:+.1f}%")
+        print(json.dumps({"base_ms": round(dt_base * 1e3, 2),
+                          "mc1_ms": round(dt_mc * 1e3, 2),
+                          "overhead_pct": round(ovh, 1)}))
+        return
 
     results = []
     n = 1
     while n <= n_dev:
         cs = run(n)
         results.append((n, cs))
-        print(f"chains={n}: {cs:.1f} chain-steps/s")
+        print(f"chains={n}: {cs:.1f} chain-steps/s"
+              f"{' (fused)' if args.fused else ''}")
         n *= 2
     base = results[0][1]
     for n, cs in results:
         eff = cs / (base * n)
         print(f"chains={n}: efficiency vs linear = {eff * 100:.1f}%")
-    print(json.dumps({"chain_steps_per_sec": dict(results)}))
+    print(json.dumps({"chain_steps_per_sec": dict(results),
+                      "fused": args.fused}))
 
 
 if __name__ == "__main__":
