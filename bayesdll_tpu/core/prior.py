@@ -113,6 +113,7 @@ def make_flat_target(
     readout_name: str = "head",
     has_batch_stats: bool = False,
     dropout: bool = False,
+    pad_to: int = 1,
 ) -> tuple:
     """Build a FlatTarget from a flax linen module.
 
@@ -122,6 +123,12 @@ def make_flat_target(
 
     theta0_params=None means a zero prior mean (training from scratch —
     reference `methods/sgld.py:29-36`).
+
+    pad_to > 1 zero-pads the flat vector to the next multiple (sharded
+    execution needs dim % mesh.size == 0 for the even flat-state sharding;
+    jax rejects uneven NamedShardings).  Pad elements are inert: the
+    forward's unravel drops them, masks are False there, and theta0 is 0 —
+    they random-walk under the sampler's noise but influence nothing.
     """
     x = jnp.zeros((1,) + tuple(input_shape), jnp.float32)
     # jit the init: eager flax init dispatches one op per parameter, which is
@@ -133,6 +140,16 @@ def make_flat_target(
 
     theta_init, unravel = flat_util.flatten_params(params)
     is_head_np, is_bias_np = flat_util.path_masks(params, readout_name=readout_name)
+
+    pad = (-int(theta_init.shape[0])) % max(int(pad_to), 1)
+    if pad:
+        orig_dim = int(theta_init.shape[0])
+        theta_init = jnp.concatenate(
+            [theta_init, jnp.zeros((pad,), theta_init.dtype)])
+        is_head_np = np.concatenate([is_head_np, np.zeros(pad, np.bool_)])
+        is_bias_np = np.concatenate([is_bias_np, np.zeros(pad, np.bool_)])
+        inner_unravel = unravel
+        unravel = lambda v: inner_unravel(v[:orig_dim])  # noqa: E731
     is_head = jnp.asarray(is_head_np)
     is_bias = jnp.asarray(is_bias_np)
 
@@ -140,6 +157,9 @@ def make_flat_target(
         theta0 = jnp.zeros_like(theta_init)
     else:
         theta0, _ = flat_util.flatten_params(theta0_params)
+        if pad:
+            theta0 = jnp.concatenate(
+                [theta0, jnp.zeros((pad,), theta0.dtype)])
 
     def apply_fn(params_pytree, net_state, xb, train=False, rng=None):
         variables = {"params": params_pytree, **(net_state or {})}

@@ -103,6 +103,19 @@ class BaseRunner:
         self.bias_mode = cfg.hparams.get("bias", "informative")
         self.nst = int(cfg.hparams.get("nst", 0))
 
+        # PRNG implementation: threefry2x32 (default, fully counter-based)
+        # or the TPU-native 'rbg'/'unsafe_rbg' generators — threefry costs
+        # real VPU time generating the D-element noise vector each sampler
+        # step (D=305M for ViT-L/32), rbg uses the hardware RNG path.  The
+        # impl propagates through every split/fold_in derived from these
+        # base keys, so one knob switches the whole runner coherently.
+        impl = os.environ.get("BAYESDLL_TPU_PRNG", "threefry2x32")
+        if impl != "threefry2x32":
+            # raw (legacy) uint32 keys flow through split/fold_in under the
+            # DEFAULT impl, so the default must be switched globally for the
+            # derived keys to stay coherent (typed keys would break the
+            # multi-host np.asarray paths in parallel/chains.py)
+            jax.config.update("jax_default_prng_impl", impl)
         self.base_key = jax.random.PRNGKey(cfg.seed)
         self.train_key, self.eval_key = jax.random.split(self.base_key)
 

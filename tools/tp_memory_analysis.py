@@ -51,7 +51,7 @@ def main(n_data=2, n_model=4, batch=256, remat=False):
         constrain_inner=ci, constrain_outer=co)
     target, theta_init, net_state = make_flat_target(
         model, input_shape, nd_size=3680, num_classes=37,
-        rng=jax.random.PRNGKey(0))
+        rng=jax.random.PRNGKey(0), pad_to=mesh.size)
     runner = get_runner_cls("csghmc")(target, theta_init, net_state, cfg)
     print(f"params: {target.dim / 1e6:.1f}M")
 
