@@ -85,6 +85,34 @@ def path_masks(
     return np.concatenate(head_chunks), np.concatenate(bias_chunks)
 
 
+def make_unravel(params) -> Callable:
+    """Dtype-preserving unravel: flat vector -> pytree of original shapes.
+
+    Unlike `ravel_pytree`'s unravel (which casts every leaf back to its
+    recorded dtype), the produced leaves inherit the INPUT vector's dtype:
+    a contiguously-cast bf16 view of theta unravels to bf16 leaves with no
+    per-leaf casts.  This matters for the scanned backbones — with the
+    recorded-dtype unravel, the fp32->bf16 cast of each layer's weights runs
+    inside the encoder scan body on the forward pass AND again in the remat
+    backward; with one contiguous cast before this unravel the scan bodies
+    consume bf16 weights directly (half the weight HBM reads per pass).
+    For an all-fp32 vector the result is identical to ravel_pytree's.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    shapes = [tuple(leaf.shape) for leaf in leaves]
+    sizes = [int(np.prod(np.asarray(s, np.int64))) if s else 1 for s in shapes]
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+
+    def unravel(v):
+        parts = [
+            v[int(offsets[i]):int(offsets[i + 1])].reshape(shapes[i])
+            for i in range(len(shapes))
+        ]
+        return jax.tree_util.tree_unflatten(treedef, parts)
+
+    return unravel
+
+
 def leaf_spans(params):
     """(names, start, size) per leaf in flatten order — for debugging/tools."""
     spans = []

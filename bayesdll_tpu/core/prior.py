@@ -12,6 +12,7 @@ so every sampler is a pure function and the prior term is one fused
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict
 
 import flax.struct
@@ -73,6 +74,13 @@ class FlatTarget(flax.struct.PyTreeNode):
     unravel: Callable = flax.struct.field(pytree_node=False)
     nd_size: int = flax.struct.field(pytree_node=False, default=0)
     num_classes: int = flax.struct.field(pytree_node=False, default=10)
+    # Non-empty => forward casts the whole flat vector to this dtype in ONE
+    # contiguous op before the (dtype-preserving) unravel, instead of flax
+    # casting each of the ~500 leaves separately inside the fwd/bwd (and,
+    # under remat, inside the recompute too).  Numerically identical to the
+    # per-leaf casts (same rounding of the same values); set automatically
+    # for half-precision backbones by make_flat_target.
+    fwd_cast: str = flax.struct.field(pytree_node=False, default="")
 
     @property
     def dim(self) -> int:
@@ -81,6 +89,8 @@ class FlatTarget(flax.struct.PyTreeNode):
     def forward(self, theta: jnp.ndarray, net_state, x, train: bool = False,
                 rng=None):
         """Apply the backbone with parameters taken from the flat vector."""
+        if self.fwd_cast:
+            theta = theta.astype(jnp.dtype(self.fwd_cast))
         params = self.unravel(theta)
         return self.apply_fn(params, net_state, x, train=train, rng=rng)
 
@@ -114,6 +124,7 @@ def make_flat_target(
     has_batch_stats: bool = False,
     dropout: bool = False,
     pad_to: int = 1,
+    fwd_cast: str | None = None,
 ) -> tuple:
     """Build a FlatTarget from a flax linen module.
 
@@ -138,8 +149,17 @@ def make_flat_target(
     params = variables["params"]
     net_state_init = {k: v for k, v in variables.items() if k != "params"}
 
-    theta_init, unravel = flat_util.flatten_params(params)
+    theta_init, _ = flat_util.flatten_params(params)
+    unravel = flat_util.make_unravel(params)
     is_head_np, is_bias_np = flat_util.path_masks(params, readout_name=readout_name)
+
+    if fwd_cast is None:
+        # auto: for half-precision backbones, cast the flat vector once per
+        # forward instead of per-leaf inside the (possibly scanned/rematted)
+        # model body.  BAYESDLL_TPU_HALF_FLAT=0 restores per-leaf casts.
+        mdt = str(getattr(model, "dtype", "float32") or "float32")
+        enabled = os.environ.get("BAYESDLL_TPU_HALF_FLAT", "1") != "0"
+        fwd_cast = mdt if (enabled and jnp.dtype(mdt) != jnp.float32) else ""
 
     pad = (-int(theta_init.shape[0])) % max(int(pad_to), 1)
     if pad:
@@ -180,5 +200,6 @@ def make_flat_target(
         unravel=unravel,
         nd_size=nd_size,
         num_classes=num_classes,
+        fwd_cast=fwd_cast,
     )
     return target, theta_init, net_state_init
