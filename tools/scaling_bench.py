@@ -79,7 +79,12 @@ def main():
         return MultiChainTrainer(runner, mesh)
 
     def time_chain(fn, fence):
-        """Median-of-3 timed trials of fn(); fence() forces a real sync."""
+        """Median-of-3 timed trials of fn(); fence() forces a real sync.
+
+        fence must end in a SCALAR READBACK when the device is remote:
+        block_until_ready alone has reported above-peak rates through the
+        axon tunnel (CLAUDE.md) — callers here pass a float() of an element
+        of the final state, which cannot exist before the chain completes."""
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -101,7 +106,8 @@ def main():
             jax.block_until_ready(trainer.states)
             dt = time_chain(
                 lambda: trainer.run_steps(0, xs, ys, trainer.bi),
-                lambda: jax.block_until_ready(trainer.states))
+                lambda: float(np.asarray(jax.device_get(
+                    trainer.runner.iterate(trainer.states))).ravel()[0]))
         else:
             trainer.step(x, y, sc)
             jax.block_until_ready(trainer.states)
@@ -125,7 +131,7 @@ def main():
         jax.block_until_ready(runner.state.theta)
         dt_base = time_chain(
             lambda: runner.run_steps(0, xs_j, ys_j, runner.bi),
-            lambda: jax.block_until_ready(runner.state.theta))
+            lambda: float(runner.state.theta[0]))
 
         trainer = build(1)
         xs1 = xs[:, None]
@@ -134,7 +140,8 @@ def main():
         jax.block_until_ready(trainer.states)
         dt_mc = time_chain(
             lambda: trainer.run_steps(0, xs1, ys1, trainer.bi),
-            lambda: jax.block_until_ready(trainer.states))
+            lambda: float(np.asarray(
+                jax.device_get(runner.iterate(trainer.states))).ravel()[0]))
         ovh = (dt_mc - dt_base) / dt_base * 100
         print(f"BaseRunner fused: {dt_base * 1000:.1f} ms / "
               f"{args.steps} steps; MultiChain(1): {dt_mc * 1000:.1f} ms; "
