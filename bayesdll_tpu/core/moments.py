@@ -124,3 +124,44 @@ class WelfordMoments(flax.struct.PyTreeNode):
         nf = self.n.astype(jnp.float32)
         var = jnp.clip(self.m2 / jnp.maximum(nf - 1.0, 1.0), min=VAR_FLOOR)
         return self.mean, var
+
+
+class RefWelfordMoments(WelfordMoments):
+    """Behavioral-parity variant reproducing the reference's corrupted
+    Welford recursion EXACTLY (opt-in via BAYESDLL_TPU_REF_QUIRKS).
+
+    The reference increments `samples_per_cycle` inside the Welford update
+    AND again unconditionally right after (`methods/csghmc.py:337,345` then
+    `:348`), so the stored count advances by 2 per collected sample.  The
+    next update then uses divisor `stored + 1` = 2k-1 for sample k — the
+    MEAN under-weights later samples (biased toward the first), and the
+    variance denominator `stored - 1` = 2k-1 is ~2x the sample count
+    (`methods/csghmc.py:451-455`), halving the predictive variance.
+
+    With a zeros init the whole corrupted recursion reduces to the standard
+    Welford update with divisor n_stored+1 and n_stored += 2: for the first
+    sample the divisor is 1 (mean <- theta, m2 += 0), matching the
+    reference's explicit first-sample branch (`:333-336`)."""
+
+    def update(self, theta: jnp.ndarray) -> "RefWelfordMoments":
+        nf = (self.n + 1).astype(jnp.float32)
+        delta = theta - self.mean
+        mean = self.mean + delta / nf
+        delta2 = theta - mean
+        m2 = self.m2 + delta * delta2
+        return RefWelfordMoments(mean=mean, m2=m2, n=self.n + 2)
+
+    def update_masked(self, theta, collect) -> "RefWelfordMoments":
+        c = jnp.asarray(collect, jnp.float32)
+        nf = (self.n + 1).astype(jnp.float32)
+        delta = theta - self.mean
+        mean = self.mean + c * delta / nf
+        delta2 = theta - mean
+        m2 = self.m2 + c * delta * delta2
+        return RefWelfordMoments(
+            mean=mean, m2=m2, n=self.n + 2 * jnp.asarray(collect, jnp.int32))
+
+    def mean_var(self):
+        nf = self.n.astype(jnp.float32)  # doubled count, as the reference
+        var = jnp.clip(self.m2 / jnp.maximum(nf - 1.0, 1.0), min=VAR_FLOOR)
+        return self.mean, var

@@ -45,6 +45,9 @@ class AdamCSGHMCState(flax.struct.PyTreeNode):
 
 class Runner(CyclicalRunnerBase):
     method_name = "adam_csghmc"
+    # cycle-likelihood MC samples center on the cycle mean
+    # (reference `methods/adam_csghmc.py:639`), unlike cSGLD's live iterate
+    LIK_CENTER = "cycle_mean"
 
     def __init__(self, target, theta_init, net_state, cfg, **kw):
         hp = cfg.hparams
@@ -84,6 +87,21 @@ class Runner(CyclicalRunnerBase):
             t=jnp.zeros((), jnp.int32))
         self.logger.info(
             "All optimizer states (momentum, m, v, t) reset for new cycle.")
+
+    def multi_chain_cycle_start(self, trainer, cycle: int):
+        """Per-chain optimizer-state reset (+ optional cold restart) on the
+        stacked [C, ...] trainer state — same semantics as on_cycle_start
+        (reference resets momentum/m/v/t every cycle,
+        `methods/adam_csghmc.py:132-143`)."""
+        states = trainer.states
+        theta = self._multi_chain_restart_thetas(trainer, cycle)
+        trainer.states = states.replace(
+            theta=states.theta if theta is None else theta,
+            buf=jnp.zeros_like(states.buf),
+            v_mom=jnp.zeros_like(states.v_mom),
+            m=jnp.zeros_like(states.m),
+            v2=jnp.zeros_like(states.v2),
+            t=jnp.zeros_like(states.t))
 
     def _step(self, state, ns, x, y, key, scalars):
         tg = self.target

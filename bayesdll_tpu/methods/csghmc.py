@@ -29,7 +29,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from bayesdll_tpu.core.moments import WelfordMoments
+from bayesdll_tpu.core.moments import RefWelfordMoments, WelfordMoments
 from bayesdll_tpu.methods import base
 from bayesdll_tpu.methods.cyclical_base import CyclicalRunnerBase
 from bayesdll_tpu.ops import fused
@@ -44,6 +44,9 @@ class CSGHMCState(flax.struct.PyTreeNode):
 
 class Runner(CyclicalRunnerBase):
     method_name = "csghmc"
+    # cycle-likelihood MC samples center on the cycle Welford MEAN
+    # (reference `methods/csghmc.py:578-580`), unlike cSGLD's live iterate
+    LIK_CENTER = "cycle_mean"
     # reference evaluates a point estimate on val every 5 epochs even before
     # the first completed cycle (`methods/csghmc.py:118-128`)
     periodic_point_eval = True
@@ -53,10 +56,18 @@ class Runner(CyclicalRunnerBase):
         super().__init__(target, theta_init, net_state, cfg, **kw)
 
     def init_state(self, theta_init):
+        # BAYESDLL_TPU_REF_QUIRKS=welford_count reproduces the reference's
+        # double-incremented samples_per_cycle recursion bit-for-bit (see
+        # core/moments.py::RefWelfordMoments); default is the CORRECT
+        # Welford count — a documented deviation (SURVEY.md §7 quirk list)
+        import os
+        quirks = os.environ.get("BAYESDLL_TPU_REF_QUIRKS", "")
+        cls = RefWelfordMoments if "welford_count" in quirks \
+            else WelfordMoments
         return CSGHMCState(
             theta=theta_init,
             v=jnp.zeros_like(theta_init),
-            moments=WelfordMoments.zeros(theta_init.shape[0]),
+            moments=cls.zeros(theta_init.shape[0]),
             step=jnp.zeros((), jnp.int32),
         )
 

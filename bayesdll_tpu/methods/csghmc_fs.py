@@ -2,7 +2,8 @@
 
 TPU-native counterpart of reference `methods/csghmc_fs.py`: the cSGHMC
 sampler, plus — near each cycle end (the last ~3 epochs of each cycle,
-reference `methods/csghmc_fs.py:176-181`) — whole-parameter snapshots saved
+reference `methods/csghmc_fs.py:176-181`; exactly the 3rd- and 2nd-last
+epochs — see Runner._near_cycle_end) — whole-parameter snapshots saved
 to disk, and a final `evaluate_full_samples` pass that loads every snapshot,
 averages the *logits* across models (BMA), and reports per-model and
 ensemble loss/error on train/val/test, pickling
@@ -22,14 +23,16 @@ import numpy as np
 from bayesdll_tpu.methods import csghmc
 from bayesdll_tpu.methods.cyclical_base import scipy_logsumexp
 
-SNAPSHOT_EPOCHS_PER_CYCLE = 3  # reference: last ~3 epochs of each cycle
-
-
 class Runner(csghmc.Runner):
     method_name = "csghmc_fs"
 
     def __init__(self, target, theta_init, net_state, cfg, **kw):
+        # opt-in cold restarts, as the reference's csghmc_fs supports
+        # (`methods/csghmc_fs.py:44-49,593-597`)
+        self.cold_restarts = str(cfg.hparams.get(
+            "perform_cold_restarts", "0")) in ("1", "true", "True")
         super().__init__(target, theta_init, net_state, cfg, **kw)
+        self._reinit_fn = None  # set lazily via set_reinit_fn
         self.full_samples = {}  # epoch (or (chain, epoch)) -> flat theta
         # per-snapshot mutable model collections (BatchNorm batch_stats):
         # multi-chain snapshots carry each chain's own running stats
@@ -46,8 +49,51 @@ class Runner(csghmc.Runner):
                              self.models_dir)
 
     def _near_cycle_end(self, ep: int) -> bool:
+        """Snapshot window — the reference's EXACT arithmetic
+        (`methods/csghmc_fs.py:176`): `ep%L > L-4 and ep%L < L-1` with
+        L = epochs // num_cycles, i.e. the 3rd- and 2nd-last epochs of each
+        cycle; the cycle's FINAL epoch is EXCLUDED (the reference's
+        'last ~3 epochs' description overstates its own window).
+        Degenerate short cycles follow the same formula: L=3 -> epochs
+        {0,1} of each cycle, L=2 -> {0}, L=1 -> no snapshots ever (the
+        reference collects none there either).  Matching this off-by-one
+        exactly aligns the BMA snapshot set with the reference — the
+        previous >= L-3 rule also captured each cycle's final (lowest-lr)
+        epoch, which shifted the BMA argmax under a nearly-flat posterior
+        (PARITY.md csghmc_fs err-mean deviation)."""
         epc = max(1, self.cfg.epochs // max(1, self.cfg.num_cycles))
-        return (ep % epc) >= max(0, epc - SNAPSHOT_EPOCHS_PER_CYCLE)
+        r = ep % epc
+        return (r > epc - 4) and (r < epc - 1)
+
+    def set_reinit_fn(self, fn):
+        """fn(key) -> fresh flat theta; used for cold restarts."""
+        self._reinit_fn = fn
+
+    def on_cycle_start(self, cycle: int):
+        """The reference csghmc_fs ALWAYS zeroes the momentum buffer at each
+        cycle boundary (`methods/csghmc_fs.py:590-591` -> `:119-131`), and
+        optionally cold-restarts the weights (`:593-597`); plain cSGHMC
+        resets neither."""
+        import jax
+
+        theta = self.state.theta
+        if self.cold_restarts and self._reinit_fn is not None:
+            key = jax.random.fold_in(self.base_key, 777 + cycle)
+            theta = self._reinit_fn(key)
+            self.logger.info(
+                "Cold restart: network re-initialised for cycle %d", cycle)
+        self.state = self.state.replace(
+            theta=theta, v=jnp.zeros_like(self.state.v))
+        self.logger.info("Momentum buffer reset for new cycle.")
+
+    def multi_chain_cycle_start(self, trainer, cycle: int):
+        """Per-chain momentum reset (+ optional cold restart) on the
+        stacked [C, ...] trainer state — same semantics as on_cycle_start."""
+        states = trainer.states
+        theta = self._multi_chain_restart_thetas(trainer, cycle)
+        trainer.states = states.replace(
+            theta=states.theta if theta is None else theta,
+            v=jnp.zeros_like(states.v))
 
     def train_one_epoch(self, ep: int, train_loader):
         out = super().train_one_epoch(ep, train_loader)

@@ -194,13 +194,49 @@ class CyclicalRunnerBase(base.BaseRunner):
     def on_cycle_start(self, cycle: int):
         pass
 
+    def multi_chain_cycle_start(self, trainer, cycle: int):
+        """Per-chain analog of on_cycle_start, operating on the trainer's
+        stacked [C, ...] state at a cycle boundary.  Default: nothing —
+        cSGLD/cSGHMC carry all sampler state across cycles; Adam-cSGHMC and
+        cSGHMC-FS override (per-cycle optimizer-state resets and optional
+        cold restarts, reference `methods/adam_csghmc.py:132-143`,
+        `methods/csghmc_fs.py:590-597`)."""
+        pass
+
+    def _multi_chain_restart_thetas(self, trainer, cycle: int):
+        """Fresh per-chain flat thetas for a cold restart (host loop over
+        chains — cycle boundaries are rare), placed with the current theta
+        sharding.  Returns None when restarts are off or unwired."""
+        if not getattr(self, "cold_restarts", False) or \
+                getattr(self, "_reinit_fn", None) is None:
+            return None
+        fresh = [np.asarray(self._reinit_fn(jax.random.fold_in(
+            jax.random.fold_in(self.base_key, 777 + cycle), c)))
+            for c in range(trainer.n_chain)]
+        theta = jnp.asarray(np.stack(fresh))
+        sharding = getattr(trainer.states.theta, "sharding", None)
+        if sharding is not None:
+            theta = jax.device_put(theta, sharding)
+        self.logger.info(
+            "Cold restart: %d chains re-initialised for cycle %d",
+            trainer.n_chain, cycle)
+        return theta
+
     # ---- full-batch likelihoods (reference `methods/csgld.py:508-562`) -----
+
+    # Where the likelihood MC samples are centered: cSGLD perturbs around
+    # the live iterate (`parameters_to_vector(self.net)`, reference
+    # `methods/csgld.py:517-519`); the cSGHMC family perturbs around the
+    # current cycle's Welford MEAN (`self.cycle_theta_mom1[current_cycle]`,
+    # reference `methods/csghmc.py:578-580`, `methods/adam_csghmc.py:639`,
+    # `methods/csghmc_fs.py:782-784`).  csghmc.Runner overrides this.
+    LIK_CENTER = "iterate"
 
     def full_batch_likelihoods(self, train_loader) -> np.ndarray:
         """likelihood_i = exp(-avg CE over the train set) for nst samples
-        perturbed around the CURRENT iterate with the current cycle's
-        variance (reference uses the live net as the mean,
-        `methods/csgld.py:517-541`).
+        perturbed around LIK_CENTER (iterate for cSGLD, cycle mean for the
+        cSGHMC family — see the attribute comment) with the current cycle's
+        variance.
 
         Structure: ONE streaming pass over the train set in bounded windows;
         within each window every MC sample's CE accumulates (each sample's
@@ -215,7 +251,8 @@ class CyclicalRunnerBase(base.BaseRunner):
             "Calculating full-batch likelihood for current cycle using %d "
             "samples...", max(1, self.nst))
         state = self.state
-        _, var = state.moments.mean_var()
+        mean, var = state.moments.mean_var()
+        center = state.theta if self.LIK_CENTER == "iterate" else mean
         n = int(np.asarray(self._moments_count(state)))
         nst = max(1, self.nst)
         use_noise = 1.0 if (self.nst > 0 and n > 1) else 0.0
@@ -244,7 +281,7 @@ class CyclicalRunnerBase(base.BaseRunner):
             for s in range(nst):
                 key = jax.random.fold_in(self.eval_key, 10_000 + s)
                 tot[s] += float(self._jit_lik_scan(
-                    self.target, state.theta, var,
+                    self.target, center, var,
                     jnp.asarray(use_noise), key, self.net_state,
                     xs_j, ys_j, vs_j))
             cnt += float(vs.sum())

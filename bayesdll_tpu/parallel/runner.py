@@ -187,7 +187,13 @@ class MultiChainRunner:
         if cnt_attr is None:
             cnt_attr = tr.states.moments.n
         ns_cnt = _fetch_global(cnt_attr)
-        liks = self._chain_likelihoods(thetas, vars_, ns_cnt,
+        # likelihood MC samples center on the cycle mean for the cSGHMC
+        # family, on the live iterate for cSGLD (see
+        # cyclical_base.LIK_CENTER; reference `methods/csghmc.py:578-580`
+        # vs `methods/csgld.py:517-519`)
+        centers = means if getattr(r, "LIK_CENTER", "iterate") == \
+            "cycle_mean" else thetas
+        liks = self._chain_likelihoods(centers, vars_, ns_cnt,
                                        self._fetched_net_states())
         for c in range(tr.n_chain):
             self.chain_cycle_stats[c][cycle] = {
@@ -198,6 +204,9 @@ class MultiChainRunner:
             "Completed cycle %d on %d chains (mean likelihood %.3e)",
             cycle, tr.n_chain, float(np.mean([l.mean() for l in liks])))
         tr.reset_cycle_moments()
+        # per-cycle sampler-state resets / cold restarts (Adam-cSGHMC,
+        # cSGHMC-FS) — the multi-chain analog of on_cycle_start
+        r.multi_chain_cycle_start(tr, cycle + 1)
 
     def _fetched_net_states(self):
         """Per-chain trained net_states (BatchNorm batch_stats etc.) as a
@@ -207,9 +216,11 @@ class MultiChainRunner:
         NLL/err wrong on the Gaussian/GMM paths)."""
         return jax.tree.map(jnp.asarray, _fetch_global(self.trainer.net_states))
 
-    def _chain_likelihoods(self, thetas, vars_, ns_cnt, net_states):
-        """Per-chain full-train likelihoods of nst perturbed samples
-        (vmapped over chains; reference `methods/csgld.py:508-562`).
+    def _chain_likelihoods(self, centers, vars_, ns_cnt, net_states):
+        """Per-chain full-train likelihoods of nst samples perturbed
+        around `centers` — the cycle means for the cSGHMC family, the live
+        iterates for cSGLD (vmapped over chains; reference
+        `methods/csgld.py:508-562`, `methods/csghmc.py:568-638`).
         Streams the train set in bounded windows (VERDICT r1 weak #2);
         each chain forwards with its OWN net_state."""
         from bayesdll_tpu.data.stream import window_batches
@@ -248,7 +259,7 @@ class MultiChainRunner:
             self._jit_chain_lik = jax.jit(chain_lik)
 
         use_noise = 1.0 if (r.nst > 0 and (ns_cnt > 1).all()) else 0.0
-        thetas_j, vars_j = jnp.asarray(thetas), jnp.asarray(vars_)
+        thetas_j, vars_j = jnp.asarray(centers), jnp.asarray(vars_)
         tot = np.zeros((self.trainer.n_chain, nst))
         cnt = 0.0
         for xs, ys, vs in window_batches(self._train_loader,

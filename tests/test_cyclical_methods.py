@@ -10,8 +10,8 @@ def _cyclical_cfg(method, extra_hp=None, **kw):
     hp = {"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.01", "thin": "2",
           "bias": "informative", "nst": "2"}
     hp.update(extra_hp or {})
-    return tiny_setup(method=method, hparams=hp, epochs=4, lr=5e-2,
-                      n_train=2048, num_cycles=2, **kw)
+    kw = {"epochs": 4, "lr": 5e-2, "n_train": 2048, "num_cycles": 2, **kw}
+    return tiny_setup(method=method, hparams=hp, **kw)
 
 
 def test_csghmc_end_to_end(tmp_path):
@@ -71,8 +71,18 @@ def test_adam_csghmc_cold_restarts():
 
 
 def test_csghmc_fs_bma_artifacts(tmp_path):
+    # epochs=8 -> 4-epoch cycles: the reference's snapshot window (mirrored
+    # exactly in _near_cycle_end) takes each cycle's 3rd- and 2nd-last
+    # epochs {1,2} and {5,6} — at the default 2-epoch cycles it would take
+    # only each cycle's first (near-untrained) epoch.  lr is lowered: the
+    # snapshots are MID-cycle (cosine lr still hot), and the momentum
+    # dynamics' steady-state step is ~lr/momentum_decay — at the default
+    # 5e-2 the mid-cycle iterates diverge on this tiny MLP (both
+    # implementations; the old >=L-3 rule hid it by snapshotting the
+    # cycle-end lr~0 epochs).
     cfg, target, theta_init, net_state, train, val, test = _cyclical_cfg(
-        "csghmc_fs", {"momentum_decay": "0.05", "nd": "0.001"})
+        "csghmc_fs", {"momentum_decay": "0.05", "nd": "0.001"}, epochs=8,
+        lr=1e-2)
     runner = get_runner_cls("csghmc_fs")(target, theta_init, net_state, cfg,
                                          workdir=str(tmp_path))
     results = runner.train(train, val, test)

@@ -55,8 +55,12 @@ CYCLICAL = {"csgld", "csghmc", "adam_csghmc", "csghmc_fs"}
 
 
 def _run(method, n_chain, n_data, workdir):
+    # csghmc_fs needs >=2-epoch cycles: the reference's snapshot window
+    # (`methods/csghmc_fs.py:176`, mirrored exactly in _near_cycle_end)
+    # collects NOTHING when epochs//num_cycles == 1
+    epochs = 4 if method == "csghmc_fs" else 2
     cfg, target, theta_init, net_state, train, val, test = tiny_setup(
-        method=method, hparams=dict(HPARAMS[method]), epochs=2,
+        method=method, hparams=dict(HPARAMS[method]), epochs=epochs,
         batch_size=16, lr=2e-2, width=16, n_train=192, num_cycles=2)
     runner = get_runner_cls(method)(target, theta_init, net_state, cfg,
                                     workdir=workdir)

@@ -248,3 +248,42 @@ def test_gmm_eval_keys_independent_across_chains():
         np.asarray(r._jit_comp_scan(
             r.target, jnp.asarray(mean), jnp.asarray(var), r.net_state, xs,
             jnp.asarray(1001, jnp.int32), i0)))
+
+
+def test_multi_chain_cycle_start_resets():
+    """Adam-cSGHMC and cSGHMC-FS reset their per-cycle optimizer state on
+    EVERY chain at cycle boundaries (reference
+    `methods/adam_csghmc.py:132-143`, `methods/csghmc_fs.py:590-597`);
+    cold restarts re-init each chain's theta independently."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bayesdll_tpu.parallel import make_mesh, MultiChainTrainer
+
+    for method, fields in (("adam_csghmc", ("buf", "v_mom", "m", "v2")),
+                           ("csghmc_fs", ("v",))):
+        cfg, target, theta_init, net_state, train, val, test = tiny_setup(
+            method=method,
+            hparams={"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.01",
+                     "thin": "2", "bias": "informative", "nst": "1",
+                     "momentum_decay": "0.05",
+                     "perform_cold_restarts": "1"},
+            epochs=4, num_cycles=2)
+        runner = get_runner_cls(method)(target, theta_init, net_state, cfg)
+        trainer = MultiChainTrainer(runner, make_mesh(2, 1))
+        # make the per-cycle fields visibly nonzero
+        dirty = {f: jax.tree.map(jnp.ones_like, getattr(trainer.states, f))
+                 for f in fields}
+        trainer.states = trainer.states.replace(**dirty)
+        marker = np.float32(55.0)
+        runner.set_reinit_fn(
+            lambda key: jnp.full(theta_init.shape, marker, jnp.float32))
+        runner.multi_chain_cycle_start(trainer, 2)
+        for f in fields:
+            assert float(jnp.abs(getattr(trainer.states, f)).max()) == 0.0, \
+                (method, f)
+        th = np.asarray(trainer.states.theta)
+        assert th.shape[0] == 2
+        assert np.all(th == marker), method
+        if hasattr(trainer.states, "t"):
+            assert int(jnp.max(trainer.states.t)) == 0

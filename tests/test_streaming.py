@@ -125,3 +125,49 @@ print("OK")
                          text=True, timeout=900, env=dict(os.environ))
     assert out.returncode == 0, out.stderr[-3000:]
     assert "OK" in out.stdout, out.stdout
+
+
+def test_ref_welford_quirk_matches_reference_recursion():
+    """RefWelfordMoments must reproduce the reference's corrupted
+    samples_per_cycle recursion (`/root/reference/methods/csghmc.py:332-348`,
+    variance at `:451-455`) exactly: count +2 per sample, mean divisor
+    stored+1, variance denominator stored-1."""
+    import numpy as np
+    import jax.numpy as jnp
+    from bayesdll_tpu.core.moments import RefWelfordMoments
+
+    rng = np.random.RandomState(0)
+    thetas = rng.randn(5, 7).astype(np.float32)
+
+    # direct simulation of the reference's python recursion
+    mom1, mom2, stored = None, None, 0
+    for t in thetas:
+        if mom1 is None:
+            mom1 = t.copy()
+            mom2 = np.zeros_like(t)
+            stored = 1
+        else:
+            n = stored + 1
+            delta = t - mom1
+            mom1 = mom1 + delta / n
+            delta2 = t - mom1
+            mom2 = mom2 + delta * delta2
+            stored = n
+        stored += 1  # the unconditional second increment (`:348`)
+    ref_var = mom2 / (stored - 1)
+
+    m = RefWelfordMoments.zeros(7)
+    for t in thetas:
+        m = m.update(jnp.asarray(t))
+    mean, var = m.mean_var()
+    assert int(m.n) == stored == 2 * len(thetas)
+    np.testing.assert_allclose(np.asarray(mean), mom1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), ref_var, rtol=1e-6)
+
+    # masked form agrees with the plain form (collect gating)
+    m2_ = RefWelfordMoments.zeros(7)
+    for i, t in enumerate(thetas):
+        m2_ = m2_.update_masked(jnp.asarray(t), True)
+        m2_ = m2_.update_masked(jnp.asarray(t * 0.0), False)  # no-op
+    np.testing.assert_allclose(np.asarray(m2_.mean), mom1, rtol=1e-6)
+    assert int(m2_.n) == stored

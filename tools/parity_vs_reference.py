@@ -273,9 +273,18 @@ def run_ours(method, train_np, test_np, workdir, seed=None):
     theta_init = torch_init_theta(seed=seed)
     runner = get_runner_cls(method)(target, theta_init, net_state, cfg,
                                     workdir=workdir)
-    results = runner.train(train, None, test)
-    return {"nll": results["nll"], "err": results["test_err"],
-            "ece": results["ece"]}
+    runner.train(train, None, test)
+    # SYMMETRIC protocol with run_reference: a FINAL post-training
+    # evaluate + calibration (run_reference calls runner.evaluate after
+    # train).  Previously this returned the best-epoch snapshot metrics
+    # from results{} — on noisy tasks the best-so-far eval can be an early
+    # epoch with fewer GMM components, which made csghmc_fs's err look
+    # ~2pp worse than the reference when the final mixtures actually agree.
+    from bayesdll_tpu.utils.calibration import analyze
+    loss, err, targets, logits, *_ = runner.evaluate(test)
+    ece, mce, nll = analyze(targets, logits, 15,
+                            os.path.join(workdir, "rel.png"), 1)
+    return {"nll": float(nll), "err": float(err), "ece": float(ece)}
 
 
 def _fmt(vals):
