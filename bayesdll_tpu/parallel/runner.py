@@ -65,6 +65,7 @@ class MultiChainRunner:
         self._jit_pred = None  # built on first evaluate (needs nst)
         self._jit_gen_pred = None
         self._la_stage2 = None  # (means [C,D], vars [C,D]) after LA stage 2
+        self._la_best = None  # per-chain best-val (losses, thetas, net_states)
         self._is_cyclical = False
         self.chain_cycle_stats = []
 
@@ -92,6 +93,10 @@ class MultiChainRunner:
                     self.trainer.n_chain, self.trainer.n_data)
         best_loss = np.inf
         tic0 = time.time()
+        is_la = hasattr(self.runner, "estimate_variance")
+        # per-chain best-val MAP tracking for LA stage 1 (reference reloads
+        # the best checkpoint before the Fisher pass, `methods/la.py:143`)
+        self._la_best = None  # (losses [C], thetas [C,D], net_states)
         after_batch = self._cyclical_after_batch if self._is_cyclical else None
         for ep, loss in self.trainer.train_epochs(train_loader,
                                                   cfg.epochs,
@@ -99,6 +104,8 @@ class MultiChainRunner:
                                                   start_epoch=start_epoch):
             logger.info("[Epoch %d/%d] multi-chain mean loss = %.4f",
                         ep, cfg.epochs, loss)
+            if is_la:
+                self._track_la_best(val_loader or test_loader, ep)
             if hasattr(self.runner, "multi_chain_epoch_end"):
                 # per-chain epoch-boundary hook (csghmc_fs snapshot capture:
                 # its single-chain hook lives in train_one_epoch, which this
@@ -114,9 +121,10 @@ class MultiChainRunner:
             # Laplace is two-stage (reference `methods/la.py:65-210`): after
             # the per-chain MAP runs, estimate each chain's diagonal Fisher
             # posterior, then a final eval with the chain-mixture Laplace
-            # predictive.  Deviation from single-chain (documented): the MAP
-            # point is each chain's FINAL iterate (per-chain best-val
-            # tracking would need a per-chain eval every epoch).
+            # predictive.  Each chain's MAP point is its BEST-val iterate
+            # (tracked per epoch below, mirroring the reference's
+            # best-ckpt reload at `methods/la.py:143`; val-else-test, the
+            # same selection rule as BaseRunner).
             self._la_stage2 = self._chain_laplace(train_loader)
             best_loss = self._eval_and_maybe_save(
                 cfg.epochs - 1, val_loader, test_loader, np.inf)
@@ -134,24 +142,104 @@ class MultiChainRunner:
         self.save_ckpt(cfg.epochs - 1)
         return self.results
 
+    def _per_chain_point_losses(self, loader):
+        """[C] per-chain point-estimate CE sums over `loader` — one vmapped
+        forward per streamed window (scanned over batches inside jit, so
+        the cost is one dispatch per window, not per batch)."""
+        from bayesdll_tpu.data.stream import window_batches
+        r, tr = self.runner, self.trainer
+        thetas = jax.tree.map(jnp.asarray,
+                              _fetch_global(tr.states.theta))  # [C, D]
+        net_states = self._fetched_net_states()
+
+        if getattr(self, "_jit_chain_point", None) is None:
+            def chain_point(tgt, thetas, net_states, xs, ys, vs):
+                saved = r.target
+                r.target = tgt
+                try:
+                    def one_chain(theta, ns):
+                        def body(tot, inp):
+                            x, y, v = inp
+                            logits, _ = r.target.forward(theta, ns, x,
+                                                         train=False)
+                            logp = jax.nn.log_softmax(logits, axis=-1)
+                            picked = jnp.take_along_axis(
+                                logp, y[:, None].astype(jnp.int32),
+                                axis=1)[:, 0]
+                            return tot + jnp.sum(-picked * v), None
+                        tot, _ = jax.lax.scan(body, jnp.zeros(()),
+                                              (xs, ys, vs))
+                        return tot
+                    return jax.vmap(one_chain)(thetas, net_states)
+                finally:
+                    r.target = saved
+            self._jit_chain_point = jax.jit(chain_point)
+
+        tot = np.zeros(tr.n_chain)
+        n = 0.0
+        for xs, ys, vs in window_batches(loader, r.FUSED_BYTES_BUDGET):
+            tot += np.asarray(self._jit_chain_point(
+                r.target, thetas, net_states,
+                jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vs)))
+            n += float(vs.sum())
+        return tot / max(n, 1.0)
+
+    def _track_la_best(self, loader, ep: int):
+        """Keep each chain's best-val iterate (+ its net_state) — the
+        multi-chain analog of the reference's best-ckpt tracking that LA
+        stage 2 reloads (`methods/la.py:124-143`)."""
+        losses = self._per_chain_point_losses(loader)
+        thetas = np.asarray(
+            jax.tree.map(jnp.asarray, _fetch_global(self.trainer.states.theta)))
+        net_states = jax.tree.map(np.asarray, self._fetched_net_states())
+        if self._la_best is None:
+            self._la_best = [losses, thetas, net_states]
+            return
+        prev_l, prev_t, prev_ns = self._la_best
+        improved = losses < prev_l
+        if improved.any():
+            self.logger.info(
+                "LA best-val improved on chains %s at epoch %d",
+                np.nonzero(improved)[0].tolist(), ep)
+        sel = improved
+        new_l = np.where(sel, losses, prev_l)
+        new_t = np.where(sel[:, None], thetas, prev_t)
+        new_ns = jax.tree.map(
+            lambda a, b: np.where(
+                sel.reshape((-1,) + (1,) * (np.ndim(a) - 1)), a, b),
+            net_states, prev_ns)
+        self._la_best = [new_l, new_t, new_ns]
+
     def _chain_laplace(self, train_loader):
         """Stage-2 diagonal Fisher per chain: (means [C,D], vars [C,D]).
 
-        Host loop over chains (each chain's Fisher is a full pass over the
+        Each chain's MAP point is its best-val iterate from `_track_la_best`
+        (falling back to the final iterate if tracking never ran), mirroring
+        the reference's best-ckpt reload (`methods/la.py:143`).  Host loop
+        over chains (each chain's Fisher is a full pass over the
         un-augmented train set, `methods/la.py::estimate_variance`); the
         jitted accumulate is traced once and reused since theta/net_state
         enter as arguments."""
         r, tr = self.runner, self.trainer
         states = _fetch_global(tr.states)
         net_states = _fetch_global(tr.net_states)
+        if self._la_best is not None:
+            _, best_t, best_ns = self._la_best
+        else:
+            best_t = best_ns = None
         means, vars_ = [], []
         saved_ns, saved_map = r.net_state, getattr(r, "map_theta", None)
         try:
             for c in range(tr.n_chain):
                 st_c = jax.tree.map(lambda a: jnp.asarray(a[c]), states)
-                r.net_state = jax.tree.map(lambda a: jnp.asarray(a[c]),
-                                           net_states)
-                r.map_theta = r.iterate(st_c)
+                if best_ns is not None:
+                    r.net_state = jax.tree.map(
+                        lambda a: jnp.asarray(a[c]), best_ns)
+                    r.map_theta = jnp.asarray(best_t[c])
+                else:
+                    r.net_state = jax.tree.map(lambda a: jnp.asarray(a[c]),
+                                               net_states)
+                    r.map_theta = r.iterate(st_c)
                 self.logger.info("LA stage 2: Fisher for chain %d/%d", c,
                                  tr.n_chain)
                 vars_c = r.estimate_variance(train_loader)
@@ -423,7 +511,14 @@ class MultiChainRunner:
             return self._gmm_evaluate(loader)
         if self._la_stage2 is not None:
             means, vars_ = self._la_stage2
-            return self._gaussian_evaluate(loader, means, vars_)
+            # forward with each chain's BEST-epoch net_state — the same
+            # snapshot the Fisher pass used (reference reloads the best
+            # ckpt, BN stats included, `methods/la.py:143`)
+            ns = None
+            if self._la_best is not None:
+                ns = jax.tree.map(jnp.asarray, self._la_best[2])
+            return self._gaussian_evaluate(loader, means, vars_,
+                                           net_states=ns)
         if hasattr(self.trainer.states, "moments") and not self._is_cyclical:
             # de-shard the per-chain moments for evaluation: the predictive
             # is a small replicated computation, and keeping the chain

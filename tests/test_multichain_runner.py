@@ -287,3 +287,22 @@ def test_multi_chain_cycle_start_resets():
         assert np.all(th == marker), method
         if hasattr(trainer.states, "t"):
             assert int(jnp.max(trainer.states.t)) == 0
+
+
+def test_multichain_la_stage2_uses_best_val_iterates():
+    """LA stage 2's per-chain MAP points are the BEST-val iterates tracked
+    across epochs (reference reloads the best ckpt before the Fisher pass,
+    `methods/la.py:124-143`), not the final iterates."""
+    cfg, target, theta_init, net_state, train, val, test = tiny_setup(
+        method="la",
+        hparams={"prior_sig": "1.0", "Ninflate": "1.0",
+                 "bias": "informative", "nst": "2"},
+        epochs=3)
+    runner = get_runner_cls("la")(target, theta_init, net_state, cfg)
+    mc = MultiChainRunner(runner, make_mesh(2, 1))
+    mc.train(train, val, test)
+    assert mc._la_best is not None
+    losses, best_thetas, _ = mc._la_best
+    assert losses.shape == (2,)
+    means, vars_ = mc._la_stage2
+    np.testing.assert_array_equal(np.asarray(means), best_thetas)
