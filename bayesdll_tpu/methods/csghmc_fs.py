@@ -77,7 +77,8 @@ class Runner(csghmc.Runner):
         import jax
 
         theta = self.state.theta
-        if self.cold_restarts and self._reinit_fn is not None:
+        if self.cold_restarts and self._reinit_fn is not None \
+                and self._restart_allowed(cycle):
             key = jax.random.fold_in(self.base_key, 777 + cycle)
             theta = self._reinit_fn(key)
             self.logger.info(

@@ -203,12 +203,29 @@ class CyclicalRunnerBase(base.BaseRunner):
         `methods/csghmc_fs.py:590-597`)."""
         pass
 
+    def _restart_allowed(self, cycle: int) -> bool:
+        """Cold-restart cycle gate, `cycle` = the NEW cycle index being
+        entered (our 1-based completed-cycle number + 1).  The reference
+        guards with `cycle_number >= 1` and comments 'Don't restart after
+        cycle 0' (`methods/csghmc_fs.py:594`, `methods/adam_csghmc.py:408`)
+        — but its `get_cycle_number` is 1-BASED (`(k-1)//cycle_length + 1`,
+        `methods/cyclical.py:69-74`), so at the first boundary
+        cycle_number == 1 and the guard is vacuously true: the reference
+        cold-restarts at EVERY cycle boundary, including after the first
+        AND after the final cycle (the restart block sits inside
+        `cycle_number > self.current_cycle`, which also passes at the final
+        boundary).  We reproduce that trace exactly — a round-4 advisor
+        finding read the guard as 0-based and suggested skipping the first
+        restart; that reading contradicts the reference formula."""
+        return True
+
     def _multi_chain_restart_thetas(self, trainer, cycle: int):
         """Fresh per-chain flat thetas for a cold restart (host loop over
         chains — cycle boundaries are rare), placed with the current theta
         sharding.  Returns None when restarts are off or unwired."""
         if not getattr(self, "cold_restarts", False) or \
-                getattr(self, "_reinit_fn", None) is None:
+                getattr(self, "_reinit_fn", None) is None or \
+                not self._restart_allowed(cycle):
             return None
         fresh = [np.asarray(self._reinit_fn(jax.random.fold_in(
             jax.random.fold_in(self.base_key, 777 + cycle), c)))
@@ -252,8 +269,13 @@ class CyclicalRunnerBase(base.BaseRunner):
             "samples...", max(1, self.nst))
         state = self.state
         mean, var = state.moments.mean_var()
-        center = state.theta if self.LIK_CENTER == "iterate" else mean
         n = int(np.asarray(self._moments_count(state)))
+        # a cycle that collected zero samples has an all-zeros Welford mean;
+        # evaluating the likelihood at theta=0 would feed a meaningless GMM
+        # weight (the reference would KeyError there) — fall back to the
+        # live iterate as the center
+        center = state.theta if (self.LIK_CENTER == "iterate" or n == 0) \
+            else mean
         nst = max(1, self.nst)
         use_noise = 1.0 if (self.nst > 0 and n > 1) else 0.0
 

@@ -113,7 +113,8 @@ class MultiChainRunner:
                 self.runner.multi_chain_epoch_end(self, ep)
             ready = (any(self.chain_cycle_stats)
                      if self._is_cyclical else self.runner.eval_ready(ep))
-            if ep % cfg.test_eval_freq == 0 and ready:
+            if ep % cfg.test_eval_freq == 0 and ready \
+                    and test_loader is not None:
                 best_loss = self._eval_and_maybe_save(
                     ep, val_loader, test_loader, best_loss)
 
@@ -126,8 +127,9 @@ class MultiChainRunner:
             # best-ckpt reload at `methods/la.py:143`; val-else-test, the
             # same selection rule as BaseRunner).
             self._la_stage2 = self._chain_laplace(train_loader)
-            best_loss = self._eval_and_maybe_save(
-                cfg.epochs - 1, val_loader, test_loader, np.inf)
+            if test_loader is not None:
+                best_loss = self._eval_and_maybe_save(
+                    cfg.epochs - 1, val_loader, test_loader, np.inf)
 
         if getattr(self.runner, "full_samples", None):
             # cSGHMC-FS: BMA over every chain's snapshots (reference
@@ -188,6 +190,10 @@ class MultiChainRunner:
         """Keep each chain's best-val iterate (+ its net_state) — the
         multi-chain analog of the reference's best-ckpt tracking that LA
         stage 2 reloads (`methods/la.py:124-143`)."""
+        if loader is None:
+            # no val/test loader: stage 2 falls back to the final iterate
+            # (`_chain_laplace` handles `_la_best is None`)
+            return
         losses = self._per_chain_point_losses(loader)
         thetas = np.asarray(
             jax.tree.map(jnp.asarray, _fetch_global(self.trainer.states.theta)))
@@ -281,6 +287,14 @@ class MultiChainRunner:
         # vs `methods/csgld.py:517-519`)
         centers = means if getattr(r, "LIK_CENTER", "iterate") == \
             "cycle_mean" else thetas
+        # zero-sample cycles have an all-zeros Welford mean — per-chain
+        # fallback to the live iterate (single-chain analog:
+        # cyclical_base.full_batch_likelihoods)
+        if centers is means:
+            zero = np.asarray(ns_cnt) == 0
+            if zero.any():
+                centers = np.where(np.asarray(zero)[:, None],
+                                   np.asarray(thetas), np.asarray(means))
         liks = self._chain_likelihoods(centers, vars_, ns_cnt,
                                        self._fetched_net_states())
         for c in range(tr.n_chain):

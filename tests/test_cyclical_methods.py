@@ -57,17 +57,24 @@ def test_adam_csghmc_cold_restarts():
         "adam_csghmc",
         {"momentum_decay": "0.05", "beta1": "0.9", "beta2": "0.999",
          "epsilon": "1e-8", "temperature": "1.0",
-         "perform_cold_restarts": "1", "nd": "0.001"})
+         "perform_cold_restarts": "1", "nd": "0.001"},
+        epochs=6, num_cycles=3)
     cfg.lr = 1e-3
     runner = get_runner_cls("adam_csghmc")(target, theta_init, net_state, cfg)
-    # wire a re-init fn returning a shifted copy so restarts are observable
+    # wire a re-init fn returning a marker copy so restarts are observable
     marker = np.float32(123.0)
     import jax.numpy as jnp
-    runner.set_reinit_fn(lambda key: jnp.full_like(runner.state.theta, marker))
+    restarts = []
+    runner.set_reinit_fn(
+        lambda key: restarts.append(1) or
+        jnp.full_like(runner.state.theta, marker))
     runner.train(train, val, test)
-    # after the final cycle boundary the state was cold-restarted to marker
-    # and then trained further; Adam timestep was reset at the boundary
-    assert int(runner.state.t) < 4 * len(train)
+    # the reference restarts at EVERY cycle boundary (its `cycle_number >= 1`
+    # guard is vacuous: `get_cycle_number` is 1-based,
+    # `methods/cyclical.py:69-74`) — including after the final cycle
+    assert len(restarts) == 3
+    # Adam timestep was reset at each cycle boundary
+    assert int(runner.state.t) < 2 * len(train)
 
 
 def test_csghmc_fs_bma_artifacts(tmp_path):

@@ -268,7 +268,7 @@ def test_multi_chain_cycle_start_resets():
                      "thin": "2", "bias": "informative", "nst": "1",
                      "momentum_decay": "0.05",
                      "perform_cold_restarts": "1"},
-            epochs=4, num_cycles=2)
+            epochs=6, num_cycles=3)
         runner = get_runner_cls(method)(target, theta_init, net_state, cfg)
         trainer = MultiChainTrainer(runner, make_mesh(2, 1))
         # make the per-cycle fields visibly nonzero
@@ -306,3 +306,55 @@ def test_multichain_la_stage2_uses_best_val_iterates():
     assert losses.shape == (2,)
     means, vars_ = mc._la_stage2
     np.testing.assert_array_equal(np.asarray(means), best_thetas)
+
+
+def test_multichain_la_trains_without_loaders():
+    """A multi-chain LA run with no val/test loaders must not crash in the
+    best-val tracker (ADVICE r4 low): stage 2 falls back to the final
+    iterates when tracking never ran."""
+    cfg, target, theta_init, net_state, train, val, test = tiny_setup(
+        method="la",
+        hparams={"prior_sig": "1.0", "Ninflate": "1.0",
+                 "bias": "informative", "nst": "2"},
+        epochs=2)
+    runner = get_runner_cls("la")(target, theta_init, net_state, cfg)
+    mc = MultiChainRunner(runner, make_mesh(2, 1))
+    mc.train(train, None, None)
+    assert mc._la_best is None
+    means, vars_ = mc._la_stage2
+    assert np.asarray(means).shape[0] == 2
+
+
+def test_zero_sample_cycle_likelihood_centers_on_iterate():
+    """A cycle that collected zero Welford samples has an all-zeros mean;
+    the cycle likelihood must center on the live iterate instead of
+    theta=0 (ADVICE r4 low).  cSGHMC (LIK_CENTER='cycle_mean') with a
+    thinning stride longer than the cycle collects nothing."""
+    import jax
+    import jax.numpy as jnp
+    cfg, target, theta_init, net_state, train, val, test = tiny_setup(
+        method="csghmc",
+        hparams={"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.01",
+                 "thin": "100000", "bias": "informative", "nst": "1",
+                 "momentum_decay": "0.05"},
+        epochs=2, num_cycles=1)
+    runner = get_runner_cls("csghmc")(target, theta_init, net_state, cfg)
+    runner._ensure_sched(len(train))
+    # shuffle+drop_last discards a different tail each pass; freeze the
+    # order so the manual pass below sees the exact same examples
+    train.shuffle = False
+    assert runner.LIK_CENTER == "cycle_mean"
+    assert int(np.asarray(runner._moments_count(runner.state))) == 0
+    lik = runner.full_batch_likelihoods(train)
+    # compare against an explicit evaluation centered at the live iterate:
+    # nst=1 and n=0 -> use_noise=0, so the likelihood is exp(-avg CE(theta))
+    tot, cnt = 0.0, 0.0
+    for x, y, v in train:
+        logits, _ = target.forward(runner.state.theta, runner.net_state,
+                                   jnp.asarray(x), train=False)
+        logp = jax.nn.log_softmax(logits, -1)
+        picked = np.asarray(jnp.take_along_axis(
+            logp, jnp.asarray(y)[:, None].astype(jnp.int32), axis=1))[:, 0]
+        tot += float(np.sum(-picked * np.asarray(v)))
+        cnt += float(np.asarray(v).sum())
+    np.testing.assert_allclose(lik, np.exp(-tot / cnt), rtol=1e-5)
