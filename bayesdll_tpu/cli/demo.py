@@ -80,6 +80,28 @@ def parse_args(argv=None):
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--wandb_project", type=str, default="bayesdll-tpu")
     p.add_argument("--wandb_name", type=str, default=None)
+    # big-model performance surface (BASELINE.md sweet spots, e.g.
+    # ViT-L/32 bs=128 --compute_dtype bfloat16 --remat)
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="forward-pass dtype (bfloat16 for big backbones)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialise ViT encoder blocks (memory for FLOPs)")
+    p.add_argument("--remat_policy", type=str, default="",
+                   choices=["", "dots", "names"],
+                   help="remat policy: '' full, 'dots' save matmul outputs, "
+                        "'names' save checkpoint_name-marked tensors")
+    p.add_argument("--scan_unroll", type=int, default=1,
+                   help="ViT encoder nn.scan unroll factor")
+    p.add_argument("--fused_attention", type=int, default=1,
+                   help="1 = jax.nn.dot_product_attention core (default)")
+    p.add_argument("--gelu_approx", type=int, default=0,
+                   help="1 = tanh GELU in the ViT MLP (perf opt-in, "
+                        "+2-3 MFU pts on v5e; 0 = exact erf, torch parity)")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="Megatron-style TP degree over the 'model' mesh "
+                        "axis (ViT backbones; combines with --data_parallel "
+                        "on a ('data','model') mesh; single-chain only)")
     return p.parse_args(argv)
 
 
@@ -95,8 +117,30 @@ def build_all(cfg, logger):
     logger.info("dataset %s prepared: ND=%d, num_classes=%d",
                 cfg.dataset, nd, cfg.num_classes)
 
+    backbone_kw = dict(
+        dtype=cfg.compute_dtype, remat=cfg.remat,
+        remat_policy=cfg.remat_policy, scan_unroll=cfg.scan_unroll,
+        fused_attention=cfg.fused_attention,
+        gelu_approx=getattr(cfg, "gelu_approx", False))
+    tp_mesh = None
+    if getattr(cfg, "tensor_parallel", 1) > 1:
+        # Megatron TP: activation sharding constraints on the backbone +
+        # evenly-sharded flat sampler state (parallel/tp.py; composes with
+        # --data_parallel on a ('data','model') mesh, single chain only)
+        if cfg.num_chains > 1:
+            raise ValueError(
+                "--tensor_parallel requires --num_chains 1 (chains over TP "
+                "groups are a multi-host layout, one process group per "
+                "chain)")
+        from bayesdll_tpu.parallel import make_tp_mesh, make_tp_constraints
+        n_data = (cfg.mesh_shape or {}).get("data", 1)
+        tp_mesh = make_tp_mesh(n_data, cfg.tensor_parallel)
+        ci, co = make_tp_constraints(tp_mesh)
+        backbone_kw.update(constrain_inner=ci, constrain_outer=co)
+        logger.info("tensor-parallel mesh: %s", dict(tp_mesh.shape))
+
     model, input_shape, meta = create_backbone(
-        cfg.backbone, num_classes=cfg.num_classes, dtype=cfg.compute_dtype)
+        cfg.backbone, num_classes=cfg.num_classes, **backbone_kw)
 
     theta0_params = None
     if cfg.pretrained is not None:
@@ -149,6 +193,11 @@ def build_all(cfg, logger):
 
         runner.set_reinit_fn(reinit_fn)
 
+    if tp_mesh is not None:
+        from bayesdll_tpu.parallel import shard_runner_for_tp
+        runner.input_sharding = shard_runner_for_tp(runner, tp_mesh)
+        return runner, (train, val, test)
+
     data_parallel = (cfg.mesh_shape or {}).get("data", 1)
     if cfg.num_chains > 1 or data_parallel > 1:
         # sharded training over a ('chain','data') mesh — new TPU capability
@@ -185,6 +234,11 @@ def main(argv=None):
         num_chains=args.num_chains, fused_steps=args.fused_steps,
         ckpt_backend=args.ckpt_backend,
         mesh_shape={"chain": args.num_chains, "data": args.data_parallel},
+        compute_dtype=args.compute_dtype, remat=args.remat,
+        remat_policy=args.remat_policy, scan_unroll=args.scan_unroll,
+        fused_attention=bool(args.fused_attention),
+        gelu_approx=bool(args.gelu_approx),
+        tensor_parallel=args.tensor_parallel,
     )
     cfg.fsdp = args.fsdp
 

@@ -56,6 +56,17 @@ class Config:
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {'chain': 4, 'data': 2}
     compute_dtype: str = "float32"  # forward-pass dtype ('bfloat16' for big nets)
     fused_steps: bool = False  # scan whole epochs into one XLA dispatch
+    # big-model performance knobs (BASELINE.md sweet spots; consumed by the
+    # ViT factories — other backbones ignore them):
+    remat: bool = False        # rematerialise encoder blocks
+    remat_policy: str = ""     # '' (full) | 'dots' | 'names'
+    scan_unroll: int = 1       # nn.scan unroll factor
+    fused_attention: bool = True  # jax.nn.dot_product_attention core
+    gelu_approx: bool = False  # tanh GELU (perf opt-in; erf = torch parity)
+    # Megatron-style tensor parallelism over a ('data','model') mesh
+    # (parallel/tp.py); single-chain only — chains over TP groups are a
+    # multi-host layout, not vmap
+    tensor_parallel: int = 1
     # multi-chain checkpoint backend: 'auto' = orbax when the mesh spans
     # processes (sharded save, no allgather), pickle otherwise
     ckpt_backend: str = "auto"  # auto | pickle | orbax

@@ -159,6 +159,10 @@ def make_flat_target(
         # model body.  BAYESDLL_TPU_HALF_FLAT=0 restores per-leaf casts.
         mdt = str(getattr(model, "dtype", "float32") or "float32")
         enabled = os.environ.get("BAYESDLL_TPU_HALF_FLAT", "1") != "0"
+        # per-backbone gate: conv nets set prefer_half_flat=False (the
+        # contiguous cast LOSES there — see models/resnet.py); scanned
+        # encoders keep it on (+12.7 ms/step on ViT-L/32 bs=128 remat)
+        enabled = enabled and getattr(model, "prefer_half_flat", True)
         fwd_cast = mdt if (enabled and jnp.dtype(mdt) != jnp.float32) else ""
 
     pad = (-int(theta_init.shape[0])) % max(int(pad_to), 1)

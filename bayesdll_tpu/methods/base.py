@@ -97,6 +97,11 @@ class BaseRunner:
         self.workdir = workdir
         if workdir:
             os.makedirs(workdir, exist_ok=True)
+        # optional NamedSharding for training batches (set by the TP path,
+        # `parallel/tp.py::shard_runner_for_tp`): places x/y 'data'-sharded
+        # so the SPMD step consumes them without a replicate-then-partition
+        # resharding
+        self.input_sharding = None
 
         self.prior_sig = cfg.hp("prior_sig", 1.0, float) \
             if "prior_sig" in cfg.hparams else 1.0
@@ -321,6 +326,14 @@ class BaseRunner:
         must run.  Default: none — one segment per memory chunk."""
         return []
 
+    def _place_input(self, a):
+        """Training-batch placement: 'data'-sharded when a TP/SPMD input
+        sharding is set, plain device transfer otherwise."""
+        a = jnp.asarray(a)
+        if self.input_sharding is not None:
+            a = jax.device_put(a, self.input_sharding)
+        return a
+
     def train_one_epoch(self, ep: int, train_loader):
         if self.use_fused(ep):
             return self._train_one_epoch_fused(ep, train_loader)
@@ -330,8 +343,8 @@ class BaseRunner:
             key = jax.random.fold_in(self.train_key, self.bi)
             scalars = self.step_scalars(ep)
             self.state, self.net_state, (loss_, errcnt) = self._jit_step(
-                self.target, self.state, self.net_state, jnp.asarray(x),
-                jnp.asarray(y), key, scalars)
+                self.target, self.state, self.net_state,
+                self._place_input(x), self._place_input(y), key, scalars)
             # device-side metric scalars; host sync deferred to epoch end
             loss_terms.append(loss_)
             err_terms.append(errcnt)

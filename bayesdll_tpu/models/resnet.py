@@ -63,6 +63,13 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int]
     num_classes: int = 1000
     dtype: str = "float32"
+    # Half-flat forward is a net LOSS on conv nets: the per-leaf fp32->bf16
+    # casts fuse into XLA's conv reads for free, while the contiguous-cast
+    # path cost the ResNet-101 cSGHMC step +9.5 ms (150.3 -> 159.8 ms/step,
+    # 40.7 -> 38.3% MFU, measured round 5 on v5e).  It pays only on scanned
+    # encoders where per-leaf casts run inside the scan body and again in
+    # the remat recompute (see core/prior.py::make_flat_target).
+    prefer_half_flat = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):

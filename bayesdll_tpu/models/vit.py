@@ -102,6 +102,9 @@ class EncoderBlock(nn.Module):
     mlp_dim: int
     dtype: str = "float32"
     fused_attention: bool = True
+    # exact erf GELU matches torchvision's nn.GELU (parity default); the
+    # tanh approximation is an opt-in perf knob (see BASELINE.md sweep)
+    gelu_approx: bool = False
     constrain_inner: Any = None
     constrain_outer: Any = None
 
@@ -118,7 +121,7 @@ class EncoderBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, name="ln_2", dtype=dt)(x)
         y = nn.Dense(self.mlp_dim, name="mlp_dense_0", dtype=dt)(y)
         y = ci(jax.ad_checkpoint.checkpoint_name(y, "mlp_hidden"))
-        y = nn.gelu(y, approximate=False)
+        y = nn.gelu(y, approximate=self.gelu_approx)
         y = nn.Dense(self.dim, name="mlp_dense_1", dtype=dt)(y)
         return co(x + y), None
 
@@ -143,6 +146,7 @@ class ViT(nn.Module):
     # expose its internal dots to dots_saveable).
     remat_policy: str = ""
     fused_attention: bool = True  # jax.nn.dot_product_attention core
+    gelu_approx: bool = False  # tanh GELU (perf opt-in; erf = torch parity)
     scan_unroll: int = 1  # nn.scan unroll factor (cross-layer fusion window)
     # Megatron-style tensor parallelism: sharding-constraint callables from
     # `make_tp_constraints(mesh)` — (inner, outer) for wide hiddens / carries
@@ -193,6 +197,7 @@ class ViT(nn.Module):
             unroll=self.scan_unroll,
         )(dim=self.dim, heads=self.heads, mlp_dim=self.mlp_dim,
           dtype=self.dtype, fused_attention=self.fused_attention,
+          gelu_approx=self.gelu_approx,
           constrain_inner=self.constrain_inner,
           constrain_outer=self.constrain_outer,
           name="layers")
@@ -214,6 +219,7 @@ def _vit_l_32(num_classes: int = 1000, **kw):
                 remat=bool(kw.get("remat", False)),
                 remat_policy=kw.get("remat_policy", ""),
                 fused_attention=bool(kw.get("fused_attention", True)),
+                gelu_approx=bool(kw.get("gelu_approx", False)),
                 scan_unroll=int(kw.get("scan_unroll", 1)),
                 constrain_inner=kw.get("constrain_inner"),
                 constrain_outer=kw.get("constrain_outer"))
@@ -229,8 +235,30 @@ def _vit_b_16(num_classes: int = 1000, **kw):
                 remat=bool(kw.get("remat", False)),
                 remat_policy=kw.get("remat_policy", ""),
                 fused_attention=bool(kw.get("fused_attention", True)),
+                gelu_approx=bool(kw.get("gelu_approx", False)),
                 scan_unroll=int(kw.get("scan_unroll", 1)),
                 constrain_inner=kw.get("constrain_inner"),
                 constrain_outer=kw.get("constrain_outer"))
     return model, (224, 224, 3), {"has_batch_stats": False,
                                   "has_dropout": False}
+
+
+@register("vit_tiny")
+def _vit_tiny(num_classes: int = 10, **kw):
+    """Tiny ViT (32^2 images, dim 64, depth 2): same code path as the big
+    factories so tests/smokes can exercise the full perf surface (remat
+    policies, scan_unroll, fused attention, TP constraints) without
+    big-model compile cost.  No reference analog (the reference's smallest
+    net is the MNIST MLP, `networks/__init__.py:15-20`)."""
+    model = ViT(patch=8, dim=64, depth=2, heads=4, mlp_dim=128,
+                image_size=32, num_classes=num_classes,
+                dtype=kw.get("dtype", "float32"),
+                remat=bool(kw.get("remat", False)),
+                remat_policy=kw.get("remat_policy", ""),
+                fused_attention=bool(kw.get("fused_attention", True)),
+                gelu_approx=bool(kw.get("gelu_approx", False)),
+                scan_unroll=int(kw.get("scan_unroll", 1)),
+                constrain_inner=kw.get("constrain_inner"),
+                constrain_outer=kw.get("constrain_outer"))
+    return model, (32, 32, 3), {"has_batch_stats": False,
+                                "has_dropout": False}

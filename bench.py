@@ -37,75 +37,66 @@ def _enable_compile_cache():
 
 
 def main():
+    """Emission strategy (VERDICT r4 #1 — the big-model MFU keys must reach
+    the driver record): the ResNet-101 MFU add-on runs FIRST — it is the
+    number that demonstrates "fast on TPU", and in rounds 2-4 it never ran
+    because the MLP headline ate the whole budget on slow-compile days.
+    A progressively-enriched full record prints after EVERY stage, so a
+    hang in any later stage can never lose an earlier result (the driver
+    parses the last JSON line; runner-side kills land between lines)."""
     t_start = time.time()
     budget_s = float(os.environ.get("BENCH_BIG_BUDGET_S", "300"))
-    # Whole-headline watchdog: the axon tunnel has been observed to hang
-    # for minutes on ANY dispatch (including a trivial matmul).  A hang
-    # inside the first compile would otherwise print NOTHING and the
-    # driver's record would be empty; the gRPC waits release the GIL, so
-    # SIGALRM handlers do run.  On timeout we print an honest degraded
-    # record (value 0 + error) rather than losing the line entirely.
+    _enable_compile_cache()
+    # Watchdogs: the axon tunnel has been observed to hang for minutes on
+    # ANY dispatch (including a trivial matmul).  The gRPC waits release
+    # the GIL, so SIGALRM handlers do run; on timeout we degrade honestly
+    # instead of losing the line entirely.
     import signal
 
-    def _headline_alarm(signum, frame):
-        raise TimeoutError("headline watchdog")
-
-    # 3x budget: r2/r3 headlines legitimately took 525-636 s through a slow
-    # tunnel — the watchdog must only catch true hangs, not slow successes
-    signal.signal(signal.SIGALRM, _headline_alarm)
-    signal.alarm(max(60, int(budget_s * 3)))
-    try:
-        record = _headline()
-    except BaseException as e:  # noqa: BLE001 — always emit a record
-        print(json.dumps({
-            "metric": "csghmc_mlp_mnist_grad_evals_per_sec_per_chip",
-            "value": 0.0,
-            "unit": "gradient-evals/sec/chip (bs=128, MLP 784-3x1000-10)",
-            "vs_baseline": 0.0,
-            "error": f"headline failed after {time.time() - t_start:.0f}s: "
-                     f"{type(e).__name__}: {e} (TPU tunnel hang?)"}),
-            flush=True)
-        return
-    finally:
-        signal.alarm(0)
-
-    # Big-model add-on only if the headline left time for it.  The headline
-    # line prints BEFORE the add-on is attempted: the SIGALRM guard below
-    # only fires between Python bytecodes, so a hang inside a C extension
-    # (remote compile taking minutes) can outlive it until a runner-side
-    # kill — printing first means that kill can no longer lose the headline
-    # (ADVICE r3).  If the add-on completes, a second ENRICHED line (the
-    # same record plus the MFU keys) prints after it; a last-JSON-line
-    # parser picks up the enriched record, a first-line parser still gets
-    # the headline.
-    remaining = budget_s - (time.time() - t_start)
-    if remaining <= 10:
-        record["resnet101_skipped"] = (
-            f"only {remaining:.0f}s of the {budget_s:.0f}s budget left "
-            f"after the headline (headline took {time.time() - t_start:.0f}s;"
-            f" remote-compile variance)")
-        print(json.dumps(record), flush=True)
-        return
-    print(json.dumps(record), flush=True)
+    record = {
+        "metric": "csghmc_mlp_mnist_grad_evals_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "gradient-evals/sec/chip (bs=128, MLP 784-3x1000-10)",
+        "vs_baseline": 0.0,
+        "headline_pending": "resnet add-on runs first; headline follows",
+    }
 
     def _alarm(signum, frame):
-        raise TimeoutError(
-            f"add-on exceeded remaining budget ({remaining:.0f}s)")
+        raise TimeoutError("bench stage watchdog")
 
-    old = signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(int(remaining))
+    signal.signal(signal.SIGALRM, _alarm)
+
+    # Stage 1: ResNet-101 MFU (cap: the budget minus a floor reserved for
+    # the headline measurement; measured healthy-day cost ~70 s with the
+    # compile cache warm, ~240 s cold)
+    signal.alarm(max(60, int(budget_s - 60)))
     try:
         record.update(resnet101_mfu())
-    except Exception as e:  # never let the add-on kill the bench
-        record["resnet101_error"] = f"{type(e).__name__}: {e}"
+    except BaseException as e:  # noqa: BLE001 — degrade, never die silent
+        record["resnet101_error"] = (
+            f"{type(e).__name__}: {e} after {time.time() - t_start:.0f}s")
     finally:
         signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+    print(json.dumps(record), flush=True)
+
+    # Stage 2: MLP headline.  3x budget watchdog: r2/r3 headlines
+    # legitimately took 525-636 s through a slow tunnel — this must only
+    # catch true hangs, not slow successes (the resnet keys above are
+    # already on the wire either way).
+    signal.alarm(max(60, int(budget_s * 3)))
+    try:
+        record.update(_headline())
+        record.pop("headline_pending", None)
+    except BaseException as e:  # noqa: BLE001
+        record["error"] = (
+            f"headline failed after {time.time() - t_start:.0f}s: "
+            f"{type(e).__name__}: {e} (TPU tunnel hang?)")
+    finally:
+        signal.alarm(0)
     print(json.dumps(record), flush=True)
 
 
 def _headline():
-    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from bayesdll_tpu.config import Config

@@ -29,10 +29,10 @@ from bayesdll_tpu.utils.profiling import (  # noqa: E402
 
 
 def main(backbone="resnet101", batch=64, dtype="bfloat16", steps=20,
-         remat=False, remat_policy="", scan_unroll=1):
+         remat=False, remat_policy="", scan_unroll=1, gelu_approx=False):
     print(f"devices: {jax.devices()}  backbone={backbone} bs={batch} "
           f"dtype={dtype} remat={remat} policy={remat_policy!r} "
-          f"unroll={scan_unroll}")
+          f"unroll={scan_unroll} gelu_approx={gelu_approx}")
     cfg = Config(
         method="csghmc",
         hparams={"prior_sig": "1.0", "Ninflate": "1.0", "nd": "1.0",
@@ -43,7 +43,8 @@ def main(backbone="resnet101", batch=64, dtype="bfloat16", steps=20,
     )
     model, input_shape, meta = create_backbone(
         backbone, num_classes=37, dtype=dtype, remat=remat,
-        remat_policy=remat_policy, scan_unroll=scan_unroll)
+        remat_policy=remat_policy, scan_unroll=scan_unroll,
+        gelu_approx=gelu_approx)
     t0 = time.time()
     target, theta_init, net_state = make_flat_target(
         model, input_shape, nd_size=3680, num_classes=37,
@@ -122,4 +123,5 @@ if __name__ == "__main__":
          dtype=a[2] if len(a) > 2 else "bfloat16",
          remat=(len(a) > 3 and a[3] in ("1", "remat", "true")),
          remat_policy=a[4] if len(a) > 4 else "",
-         scan_unroll=int(a[5]) if len(a) > 5 else 1)
+         scan_unroll=int(a[5]) if len(a) > 5 else 1,
+         gelu_approx=(len(a) > 6 and a[6] in ("1", "tanh", "true")))
