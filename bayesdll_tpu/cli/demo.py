@@ -203,12 +203,20 @@ def build_all(cfg, logger):
         # sharded training over a ('chain','data') mesh — new TPU capability
         # (BASELINE.md config 5; no reference analog).  num_chains=1 with
         # --data_parallel N gives pure in-chain batch sharding over N chips.
+        # num_chains may exceed the devices: the mesh 'chain' axis takes the
+        # largest divisor of num_chains that fits, and each device batches
+        # num_chains/axis chains through the vmapped step (also the dense-
+        # tiling lever — see MultiChainTrainer).
         from bayesdll_tpu.parallel import make_mesh
         from bayesdll_tpu.parallel.runner import MultiChainRunner
-        mesh = make_mesh(cfg.num_chains, data_parallel)
+        avail = max(1, len(jax.devices()) // data_parallel)
+        chain_axis = max(d for d in range(1, min(avail, cfg.num_chains) + 1)
+                         if cfg.num_chains % d == 0)
+        mesh = make_mesh(chain_axis, data_parallel)
         runner = MultiChainRunner(runner, mesh, logger=logger,
                                   workdir=workdir,
-                                  fsdp=bool(getattr(cfg, "fsdp", False)))
+                                  fsdp=bool(getattr(cfg, "fsdp", False)),
+                                  n_chain=cfg.num_chains)
     return runner, (train, val, test)
 
 

@@ -35,18 +35,33 @@ class MultiChainTrainer:
     sharded over a ('chain', 'data') mesh."""
 
     def __init__(self, runner, mesh: Mesh, *, seed_offset: int = 0,
-                 fsdp: bool = False):
+                 fsdp: bool = False, n_chain: int = None):
         """fsdp=True additionally shards every per-chain state VECTOR over
         the 'data' axis (flat-vector FSDP): each device holds 1/n_data of
         theta / momentum / moment accumulators, XLA all-gathers parameters
         at the forward and keeps the fused sampler update fully sharded.
         Cuts per-device sampler-state memory and elementwise work by
         n_data — the flat representation makes this a sharding annotation,
-        not a code change."""
+        not a code change.
+
+        n_chain may EXCEED the mesh's 'chain' axis (must be a multiple):
+        each device then carries n_chain/axis chains batched through the
+        same vmap.  Besides scaling chains past the device count, this is
+        a TPU LAYOUT lever: the stacked state is [n_chain, D], and XLA
+        tiles the per-device [k, D] block as T(k,128) when k<8 — at
+        k=1 every elementwise sampler op wastes 7/8 of the VPU sublanes
+        (measured: the fused MLP sampler chain ran ~3.5x slower as
+        MultiChain(1) than as BaseRunner, BASELINE.md round-5).  k>=8
+        restores dense (8,128) tiles and amortises the waste."""
         self.runner = runner
         self.mesh = mesh
         self.fsdp = fsdp
-        self.n_chain = mesh.shape["chain"]
+        axis = mesh.shape["chain"]
+        self.n_chain = int(n_chain) if n_chain else axis
+        if self.n_chain % axis:
+            raise ValueError(
+                f"n_chain={self.n_chain} must be a multiple of the mesh "
+                f"'chain' axis ({axis}) so P('chain') shards evenly")
         self.n_data = mesh.shape["data"]
 
         chain_sh = NamedSharding(mesh, P("chain"))
@@ -161,42 +176,21 @@ class MultiChainTrainer:
         runner = self.runner
         cache_key = runner._fused_key(ep)
         if cache_key not in self._jit_scan:
-            vstep = jax.vmap(runner._step, in_axes=(0, 0, 0, 0, 0, None))
+            if self.n_data == 1 and not self.fsdp:
+                self._jit_scan[cache_key] = self._build_shardmap_scan(ep)
+            else:
+                self._jit_scan[cache_key] = self._build_vmap_scan(ep)
 
-            def scan_fn(tgt, states, net_states, chain_keys, xs, ys, bi0,
-                        _ep=ep):
-                saved = runner.target
-                runner.target = tgt
-                try:
-                    def body(carry, inp):
-                        st, ns = carry
-                        x, y, i = inp
-                        keys = jax.vmap(
-                            lambda k: jax.random.fold_in(k, bi0 + i))(
-                                chain_keys)
-                        sc = runner.device_scalars(_ep, bi0 + i)
-                        st, ns, metrics = vstep(st, ns, x, y, keys, sc)
-                        return (st, ns), metrics
-
-                    idx = jnp.arange(xs.shape[0], dtype=jnp.int32)
-                    (states, net_states), (loss_ck, err_ck) = jax.lax.scan(
-                        body, (states, net_states), (xs, ys, idx))
-                    return states, net_states, (loss_ck, err_ck)
-                finally:
-                    runner.target = saved
-
-            rep = NamedSharding(self.mesh, P())
-            seg_sh = NamedSharding(self.mesh, P(None, "chain", "data"))
-            self._jit_scan[cache_key] = jax.jit(
-                scan_fn,
-                in_shardings=(rep, self._state_sh, self._chain_sh,
-                              self._chain_sh, seg_sh, seg_sh, None),
-                out_shardings=(self._state_sh, self._chain_sh, (rep, rep)),
-                donate_argnums=(1, 2),
-            )
-
-        xs = jax.device_put(np.asarray(xs), self._seg_sharding())
-        ys = jax.device_put(np.asarray(ys), self._seg_sharding())
+        # np.asarray on a jax.Array would round-trip the whole segment
+        # through the host (10s of MB through the remote tunnel); committed
+        # device arrays with the right sharding pass through device_put as
+        # a no-op
+        if not isinstance(xs, jax.Array):
+            xs = np.asarray(xs)
+        if not isinstance(ys, jax.Array):
+            ys = np.asarray(ys)
+        xs = jax.device_put(xs, self._seg_sharding())
+        ys = jax.device_put(ys, self._seg_sharding())
         keys = self._chain_keys
         if self._multiprocess:
             keys = jax.device_put(np.asarray(keys), self._chain_sh)
@@ -207,6 +201,131 @@ class MultiChainTrainer:
         self.bi = bi0 + int(xs.shape[0])
         self.runner.bi = self.bi
         return loss_ck, err_ck  # [K, n_chain] each
+
+    def _build_vmap_scan(self, ep: int):
+        """General fused scan: vmap over the stacked chain axis.  Used when
+        devices carry >1 chain, data parallelism is on, or fsdp shards the
+        state vectors (XLA SPMD handles the gradient all-reduce / gathers).
+
+        Layout caveat (measured round 5, BASELINE.md): the per-device chain
+        block [k, D] tiles as T(k,128) when k<8, wasting (8-k)/8 of the VPU
+        sublanes on every elementwise sampler op — prefer k>=8 chains per
+        device on this path; the k=1 pure-chain case takes the shard_map
+        path below instead."""
+        runner = self.runner
+        vstep = jax.vmap(runner._step, in_axes=(0, 0, 0, 0, 0, None))
+
+        def scan_fn(tgt, states, net_states, chain_keys, xs, ys, bi0,
+                    _ep=ep):
+            saved = runner.target
+            runner.target = tgt
+            try:
+                def body(carry, inp):
+                    st, ns = carry
+                    x, y, i = inp
+                    keys = jax.vmap(
+                        lambda k: jax.random.fold_in(k, bi0 + i))(
+                            chain_keys)
+                    sc = runner.device_scalars(_ep, bi0 + i)
+                    st, ns, metrics = vstep(st, ns, x, y, keys, sc)
+                    return (st, ns), metrics
+
+                idx = jnp.arange(xs.shape[0], dtype=jnp.int32)
+                (states, net_states), (loss_ck, err_ck) = jax.lax.scan(
+                    body, (states, net_states), (xs, ys, idx))
+                return states, net_states, (loss_ck, err_ck)
+            finally:
+                runner.target = saved
+
+        rep = NamedSharding(self.mesh, P())
+        seg_sh = NamedSharding(self.mesh, P(None, "chain", "data"))
+        return jax.jit(
+            scan_fn,
+            in_shardings=(rep, self._state_sh, self._chain_sh,
+                          self._chain_sh, seg_sh, seg_sh, None),
+            out_shardings=(self._state_sh, self._chain_sh, (rep, rep)),
+            donate_argnums=(1, 2),
+        )
+
+    def _build_shardmap_scan(self, ep: int):
+        """Fast fused scan for pure chain parallelism (n_data=1, no fsdp):
+        `jax.shard_map` over 'chain'; each device runs its k local chains
+        SEQUENTIALLY (outer lax.scan over chains), each chain's whole
+        K-step segment on FLAT [D] state (inner scan over steps).
+
+        Why not vmap: the vmapped scan keeps every sampler intermediate as
+        [k, D], which XLA:TPU tiles as T(k,128) when k<8 — (8-k)/8 of the
+        VPU sublanes idle on every elementwise op, and even at dense k=8
+        the batched program measured ~45% below the flat rate.  Squeezed
+        to [D] the intermediates tile densely; measured 5.9 -> 1.41
+        ms/step at k=1 on an 11.4M-param MLP (BaseRunner parity, -5%
+        wrapper overhead on chip), and the per-device chain sweep stays
+        flat-rate for any k (BASELINE.md round-5).  Trajectory-identical
+        to the vmap path: same per-chain key folds, same device_scalars
+        (tested vs per-batch stepping in tests/test_multichain_runner.py).
+        Metrics are all-gathered over 'chain' inside the body so they come
+        back replicated, as the vmap path's out_shardings guarantee
+        (required for multi-host reads)."""
+        runner = self.runner
+
+        def scan_fn(tgt, states, net_states, chain_keys, xs, ys, bi0,
+                    _ep=ep):
+            saved = runner.target
+            runner.target = tgt
+            try:
+                def device_body(states, net_states, keys, xs, ys):
+                    # local blocks: state [k, ...], segment [K, k, B, ...]
+                    def one_chain(_, chain_in):
+                        st, ns, key0, xs_c, ys_c = chain_in
+
+                        def body(carry, inp):
+                            st, ns = carry
+                            x, y, i = inp
+                            k = jax.random.fold_in(key0, bi0 + i)
+                            sc = runner.device_scalars(_ep, bi0 + i)
+                            st, ns, m = runner._step(st, ns, x, y, k, sc)
+                            return (st, ns), m
+
+                        idx = jnp.arange(xs_c.shape[0], dtype=jnp.int32)
+                        (st, ns), (loss_k, err_k) = jax.lax.scan(
+                            body, (st, ns), (xs_c, ys_c, idx))
+                        return None, (st, ns, loss_k, err_k)
+
+                    # scan over the k local chains: carries stay flat [D]
+                    # inside one_chain; [k, K, B, ...] per-chain segments
+                    xs_t = jnp.moveaxis(xs, 1, 0)
+                    ys_t = jnp.moveaxis(ys, 1, 0)
+                    _, (st1, ns1, loss_kk, err_kk) = jax.lax.scan(
+                        one_chain, None,
+                        (states, net_states, keys, xs_t, ys_t))
+                    # loss_kk: [k, K] -> [K, k]; gather device blocks in
+                    # chain-axis order (= global chain order) -> [K, C]
+                    loss_kc = jax.lax.all_gather(
+                        loss_kk.T, "chain", axis=1, tiled=True)
+                    err_kc = jax.lax.all_gather(
+                        err_kk.T, "chain", axis=1, tiled=True)
+                    return st1, ns1, (loss_kc, err_kc)
+
+                chain = P("chain")
+                seg = P(None, "chain")
+                body_sm = jax.shard_map(
+                    device_body, mesh=self.mesh,
+                    in_specs=(chain, chain, chain, seg, seg),
+                    out_specs=(chain, chain, (P(), P())),
+                    check_vma=False)
+                return body_sm(states, net_states, chain_keys, xs, ys)
+            finally:
+                runner.target = saved
+
+        rep = NamedSharding(self.mesh, P())
+        seg_sh = NamedSharding(self.mesh, P(None, "chain", "data"))
+        return jax.jit(
+            scan_fn,
+            in_shardings=(rep, self._state_sh, self._chain_sh,
+                          self._chain_sh, seg_sh, seg_sh, None),
+            out_shardings=(self._state_sh, self._chain_sh, (rep, rep)),
+            donate_argnums=(1, 2),
+        )
 
     def _seg_sharding(self):
         return NamedSharding(self.mesh, P(None, "chain", "data"))

@@ -51,10 +51,11 @@ class MultiChainRunner:
     method_name = "multi_chain"
 
     def __init__(self, runner, mesh, logger=None, workdir=None,
-                 fsdp: bool = False):
+                 fsdp: bool = False, n_chain: int = None):
         self.runner = runner
         self.mesh = mesh
-        self.trainer = MultiChainTrainer(runner, mesh, fsdp=fsdp)
+        self.trainer = MultiChainTrainer(runner, mesh, fsdp=fsdp,
+                                         n_chain=n_chain)
         self.logger = logger or runner.logger
         self.workdir = workdir or runner.workdir
         if self.workdir:

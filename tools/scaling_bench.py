@@ -33,6 +33,9 @@ def main():
                    help="use the scanned run_steps segment path (one XLA "
                         "dispatch per --steps batches) — the production "
                         "multi-chain path")
+    p.add_argument("--max_chains", type=int, default=0,
+                   help="scale chains past the device count (chains batch "
+                        "per device); default = device count")
     p.add_argument("--overhead", action="store_true",
                    help="measure MultiChainRunner(1 chain) wrapper overhead "
                         "vs BaseRunner on the same device (VERDICT r3 "
@@ -71,12 +74,16 @@ def main():
             "mlp_mnist", num_classes=10, width=args.width, depth=2)
         target, theta_init, net_state = make_flat_target(
             model, input_shape, nd_size=4096, num_classes=10,
-            rng=jax.random.PRNGKey(0))
+            rng=jax.random.PRNGKey(0), pad_to=1024)
         runner = get_runner_cls("sgld")(target, theta_init, net_state, cfg)
         if n_chain is None:
             return runner
-        mesh = make_mesh(n_chain, 1)
-        return MultiChainTrainer(runner, mesh)
+        # chain axis = largest divisor of n_chain that fits the devices;
+        # surplus chains batch per device (dense-tiling lever, chains.py)
+        axis = max(d for d in range(1, min(n_dev, n_chain) + 1)
+                   if n_chain % d == 0)
+        mesh = make_mesh(axis, 1)
+        return MultiChainTrainer(runner, mesh, n_chain=n_chain)
 
     def time_chain(fn, fence):
         """Median-of-3 timed trials of fn(); fence() forces a real sync.
@@ -100,14 +107,20 @@ def main():
         y = rng.randint(0, 10, (n_chain, args.batch)).astype(np.int32)
         sc = {"collect": True}
         if args.fused:
-            xs = np.broadcast_to(x, (args.steps,) + x.shape).copy()
-            ys = np.broadcast_to(y, (args.steps,) + y.shape).copy()
+            xs = jax.device_put(
+                np.broadcast_to(x, (args.steps,) + x.shape).copy(),
+                trainer._seg_sharding())
+            ys = jax.device_put(
+                np.broadcast_to(y, (args.steps,) + y.shape).copy(),
+                trainer._seg_sharding())
             trainer.run_steps(0, xs, ys, trainer.bi)  # compile
             jax.block_until_ready(trainer.states)
+            # fence = ONE-ELEMENT readback: slice on device, transfer a
+            # scalar (device_get of the whole [C,D] theta pays the tunnel
+            # a ~1 MB transfer and dominated the measurement — r5 fix)
             dt = time_chain(
                 lambda: trainer.run_steps(0, xs, ys, trainer.bi),
-                lambda: float(np.asarray(jax.device_get(
-                    trainer.runner.iterate(trainer.states))).ravel()[0]))
+                lambda: float(trainer.states.theta[0, 0]))
         else:
             trainer.step(x, y, sc)
             jax.block_until_ready(trainer.states)
@@ -134,14 +147,16 @@ def main():
             lambda: float(runner.state.theta[0]))
 
         trainer = build(1)
-        xs1 = xs[:, None]
-        ys1 = ys[:, None]
+        # pre-stage on device with the segment sharding, like the xs_j/ys_j
+        # the BaseRunner arm gets — the A/B must not charge one side a
+        # host->device transfer the other skips
+        xs1 = jax.device_put(xs[:, None], trainer._seg_sharding())
+        ys1 = jax.device_put(ys[:, None], trainer._seg_sharding())
         trainer.run_steps(0, xs1, ys1, trainer.bi)
         jax.block_until_ready(trainer.states)
         dt_mc = time_chain(
             lambda: trainer.run_steps(0, xs1, ys1, trainer.bi),
-            lambda: float(np.asarray(
-                jax.device_get(runner.iterate(trainer.states))).ravel()[0]))
+            lambda: float(trainer.states.theta[0, 0]))
         ovh = (dt_mc - dt_base) / dt_base * 100
         print(f"BaseRunner fused: {dt_base * 1000:.1f} ms / "
               f"{args.steps} steps; MultiChain(1): {dt_mc * 1000:.1f} ms; "
@@ -153,7 +168,7 @@ def main():
 
     results = []
     n = 1
-    while n <= n_dev:
+    while n <= max(n_dev, args.max_chains):
         cs = run(n)
         results.append((n, cs))
         print(f"chains={n}: {cs:.1f} chain-steps/s"
