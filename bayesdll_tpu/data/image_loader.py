@@ -27,6 +27,7 @@ class ImageFileLoader:
         self.batch_size = int(batch_size)
         self.train = train
         self.size = size
+        self._seed = seed
         self._rng = np.random.RandomState(seed)
         self.n = len(paths)
         self.num_threads = num_threads
@@ -46,6 +47,17 @@ class ImageFileLoader:
         stage-2 Fisher (reference `methods/la.py:375-387`)."""
         return ImageFileLoader(self.paths, self.labels, self.batch_size,
                                train=False, size=self.size,
+                               num_threads=self.num_threads)
+
+    def chain_view(self, c: int, epoch: int = 0):
+        """Same files, shuffle/augment order a pure function of
+        (seed, chain, epoch) — see ArrayLoader.chain_view (concurrent
+        multi-chain iteration must not consume a shared RandomState, and
+        stateless epoch seeding makes resume replay-free)."""
+        return ImageFileLoader(self.paths, self.labels, self.batch_size,
+                               train=self.train, size=self.size,
+                               seed=(self._seed + 7919 * (c + 1)
+                                     + 104729 * epoch) % (2 ** 31 - 1),
                                num_threads=self.num_threads)
 
     def _load_one(self, idx: int, epoch_rng_seed: int):

@@ -22,6 +22,7 @@ class ArrayLoader:
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self._seed = seed
         self._rng = np.random.RandomState(seed)
         self.n = len(x)
         self.augment_fn = augment_fn  # (batch_x, rng) -> batch_x
@@ -37,6 +38,20 @@ class ArrayLoader:
         un-augmented examples, reference `methods/la.py:375-387`)."""
         return ArrayLoader(self.x, self.y, self.batch_size, shuffle=False,
                            drop_last=False, augment_fn=None)
+
+    def chain_view(self, c: int, epoch: int = 0):
+        """View over the SAME examples whose shuffle/augment order is a
+        pure function of (seed, chain, epoch).  Multi-chain training
+        advances n_chain iterators concurrently — a shared RandomState
+        would make the order depend on thread interleaving — and the
+        stateless epoch seeding lets a resumed run reproduce any epoch's
+        order with no replay of earlier epochs."""
+        return ArrayLoader(self.x, self.y, self.batch_size,
+                           shuffle=self.shuffle,
+                           seed=(self._seed + 7919 * (c + 1)
+                                 + 104729 * epoch) % (2 ** 31 - 1),
+                           drop_last=self.drop_last,
+                           augment_fn=self.augment_fn)
 
     @property
     def num_examples(self):

@@ -128,12 +128,10 @@ def test_multichain_resume_bit_identical(tmp_path):
     mc_a, train_a, val_a, test_a = fresh(1, str(tmp_path / "int"))
     mc_a.train(train_a, val_a, test_a)
 
-    # resumed runner: replay the loader's epoch-0 shuffle stream (2 chains
-    # consumed 2 passes), then load + continue
+    # resumed runner: per-chain data order is a pure function of
+    # (chain, epoch) (loader.chain_view), so resume needs NO replay of
+    # earlier epochs' shuffle streams
     mc_b, train_b, val_b, test_b = fresh(2, str(tmp_path / "res"))
-    for _ in range(mc_b.trainer.n_chain):
-        for _ in train_b:
-            pass
     ep = mc_b.load_ckpt(str(tmp_path / "int" / "chains_ckpt.pkl"))
     np.testing.assert_array_equal(np.asarray(mc_b.trainer.states.theta),
                                   np.asarray(mc_a.trainer.states.theta))
