@@ -211,6 +211,53 @@ def test_multichain_fused_matches_per_batch_csghmc():
                                        rtol=1e-5, atol=1e-6)
 
 
+def test_multichain_fused_shardmap_matches_per_batch():
+    """The shard_map fused path (pure chain parallelism: n_data=1, flat [D]
+    per-device state) must reproduce the per-batch path exactly, both at
+    1 chain/device and with chains batched per device (n_chain > mesh
+    axis, round-5 decoupling)."""
+    hp = {"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.1", "burnin": "1",
+          "thin": "2", "bias": "informative", "nst": "2"}
+    # k=1: 2 chains on a (2,1) mesh
+    mc_f, _ = _mc_run("sgld", hp, True, n_chain=2, n_data=1)
+    mc_p, _ = _mc_run("sgld", hp, False, n_chain=2, n_data=1)
+    np.testing.assert_allclose(np.asarray(mc_f.trainer.states.theta),
+                               np.asarray(mc_p.trainer.states.theta),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_multichain_chains_exceed_devices():
+    """n_chain > mesh 'chain' axis: 4 chains on a (2,1) mesh (2 chains
+    batched per device) trains, keeps 4 distinct chains, and the fused
+    path matches per-batch."""
+    import jax
+
+    hp = {"prior_sig": "1.0", "Ninflate": "1.0", "nd": "0.1", "burnin": "1",
+          "thin": "2", "bias": "informative", "nst": "2"}
+
+    def run(fused):
+        cfg, target, theta_init, net_state, train, val, test = tiny_setup(
+            method="sgld", hparams=dict(hp), epochs=2, batch_size=32,
+            lr=2e-2, n_train=256)
+        cfg.fused_steps = fused
+        r = get_runner_cls("sgld")(target, theta_init, net_state, cfg)
+        mc = MultiChainRunner(r, make_mesh(2, 1), n_chain=4)
+        results = mc.train(train, val, test)
+        return mc, results
+
+    mc_f, res_f = run(True)
+    mc_p, res_p = run(False)
+    th_f = np.asarray(mc_f.trainer.states.theta)
+    assert th_f.shape[0] == 4
+    # 4 genuinely distinct chains
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert np.abs(th_f[a] - th_f[b]).max() > 1e-6
+    np.testing.assert_allclose(th_f, np.asarray(mc_p.trainer.states.theta),
+                               rtol=1e-5, atol=1e-6)
+    assert "nll" in res_f and np.isfinite(res_f["nll"])
+
+
 def test_gmm_eval_keys_independent_across_chains():
     """Regression for the multi-chain GMM key-domain collision (VERDICT r3
     weak #5): under the old single-fold scheme `(i0+i)*1000 + comp_id`,
