@@ -167,7 +167,7 @@ def build_all(cfg, logger):
     # architecture summary (reference logs net arch + #params,
     # `demo_mnist.py:100-146`, `networks/__init__.py:60-61`)
     logger.info("backbone %s: %d parameters", cfg.backbone,
-                int(target.dim))
+                int(target.n_params or target.dim))
 
     runner_cls = get_runner_cls(cfg.method)
     workdir = os.path.join(cfg.log_dir, cfg.run_name())
@@ -189,6 +189,10 @@ def build_all(cfg, logger):
         def reinit_fn(key):
             fresh = model.init(key, x0, train=False)["params"]
             theta, _ = flat_util.flatten_params(fresh)
+            pad = int(target.dim) - int(theta.shape[0])
+            if pad:  # match the target's padded flat length (inert zeros)
+                theta = jnp.concatenate(
+                    [theta, jnp.zeros((pad,), theta.dtype)])
             return theta
 
         runner.set_reinit_fn(reinit_fn)

@@ -81,6 +81,8 @@ class FlatTarget(flax.struct.PyTreeNode):
     # per-leaf casts (same rounding of the same values); set automatically
     # for half-precision backbones by make_flat_target.
     fwd_cast: str = flax.struct.field(pytree_node=False, default="")
+    # true (unpadded) parameter count; dim is the padded vector length
+    n_params: int = flax.struct.field(pytree_node=False, default=0)
 
     @property
     def dim(self) -> int:
@@ -123,7 +125,7 @@ def make_flat_target(
     readout_name: str = "head",
     has_batch_stats: bool = False,
     dropout: bool = False,
-    pad_to: int = 1,
+    pad_to: int = 1024,
     fwd_cast: str | None = None,
 ) -> tuple:
     """Build a FlatTarget from a flax linen module.
@@ -135,11 +137,17 @@ def make_flat_target(
     theta0_params=None means a zero prior mean (training from scratch —
     reference `methods/sgld.py:29-36`).
 
-    pad_to > 1 zero-pads the flat vector to the next multiple (sharded
-    execution needs dim % mesh.size == 0 for the even flat-state sharding;
-    jax rejects uneven NamedShardings).  Pad elements are inert: the
-    forward's unravel drops them, masks are False there, and theta0 is 0 —
-    they random-walk under the sampler's noise but influence nothing.
+    pad_to zero-pads the flat vector to the next multiple.  The 1024
+    default is a TPU LAYOUT requirement, not just sharding hygiene: a 1-D
+    fp32 vector whose length is not a multiple of 8x128 sublane-lane tiles
+    pays strided-access penalties on every fused elementwise chain —
+    measured +72% cSGHMC throughput on the 2.8M-param MNIST MLP
+    (257k -> 442k gradient-evals/s, BASELINE.md round-5).  Sharded
+    execution additionally needs dim % mesh.size == 0 (jax rejects uneven
+    NamedShardings) — pass pad_to=lcm(1024, mesh.size) if the mesh is not
+    a power-of-two <= 1024.  Pad elements are inert: the forward's unravel
+    drops them, masks are False there, and theta0 is 0 — they random-walk
+    under the sampler's noise but influence nothing (tests/test_half_flat).
     """
     x = jnp.zeros((1,) + tuple(input_shape), jnp.float32)
     # jit the init: eager flax init dispatches one op per parameter, which is
@@ -205,5 +213,6 @@ def make_flat_target(
         nd_size=nd_size,
         num_classes=num_classes,
         fwd_cast=fwd_cast,
+        n_params=int(theta_init.shape[0]) - pad,
     )
     return target, theta_init, net_state_init
